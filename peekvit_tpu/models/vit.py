@@ -41,11 +41,13 @@ class ViTBlock(nn.Module):
     ln_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, *, train: bool = False, key_mask=None
+    ) -> jax.Array:
         y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
         y = SelfAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout, name="self_attention"
-        )(y, deterministic=not train)
+        )(y, key_mask=key_mask, deterministic=not train)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = x + y
         z = nn.LayerNorm(epsilon=self.ln_eps, name="ln_2")(x)

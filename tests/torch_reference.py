@@ -109,3 +109,75 @@ class TorchViT(nn.Module):
         sd["head.weight"] = self.head.weight
         sd["head.bias"] = self.head.bias
         return {k: v.detach() for k, v in sd.items()}
+
+
+class TorchRankViTBlock(TorchViTBlock):
+    """sort_and_drop + block (reference rankvit.py:24-101), 1 class token."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.current_budget = 1.0
+
+    def sort_and_drop(self, x):
+        class_token = x[:, 0:1, :]
+        x = x[:, 1:, :]
+        mags = torch.norm(x, dim=-1)
+        idx = torch.argsort(mags, dim=-1, descending=True, stable=True).unsqueeze(-1)
+        x = torch.gather(x, 1, idx.expand(-1, -1, x.shape[-1]))
+        num_keep = math.ceil(x.shape[1] * self.current_budget)
+        return torch.cat([class_token, x[:, :num_keep]], dim=1)
+
+    def forward(self, x):
+        if self.current_budget != 1:
+            x = self.sort_and_drop(x)
+        return super().forward(x)
+
+
+class TorchRankViT(TorchViT):
+    """RankViT built on the TorchViT fixture (reference rankvit.py:156-288)."""
+
+    def __init__(self, *args, rankvit_layers=(), **kw):
+        super().__init__(*args, **kw)
+        self.rankvit_layers = list(rankvit_layers)
+        hd = self.layers[0].ln_1.weight.shape[0]
+        for i in rankvit_layers:
+            old = self.layers[i]
+            blk = TorchRankViTBlock(
+                old.self_attention.num_heads, hd, old.mlp.fc1.weight.shape[0]
+            )
+            blk.load_state_dict(old.state_dict())
+            self.layers[i] = blk
+
+    def set_budget(self, budget):
+        for i in self.rankvit_layers:
+            self.layers[i].current_budget = budget
+
+
+class TorchSigmoidResidualBlock(nn.Module):
+    """forward_skip_attention_mlp with sigmoid gate + constant budget token
+    (reference residualvit.py:197-260), eval mode, 1 class token."""
+
+    def __init__(self, num_heads, hidden_dim, mlp_dim, temp=1.0, bias=0.0):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(hidden_dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(hidden_dim, num_heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(hidden_dim, eps=1e-6)
+        self.mlp = TorchMLP(hidden_dim, mlp_dim)
+        self.gate_proj = nn.Linear(hidden_dim, 1)
+        self.temp, self.bias = temp, bias
+
+    def forward(self, tokens):
+        special, img, budget_token = tokens[:, :1], tokens[:, 1:-1], tokens[:, -1:]
+        current_budget = budget_token.mean()
+        mask = torch.sigmoid(self.gate_proj(img) / self.temp + self.bias)
+        mask = F.relu(mask - (1 - current_budget))
+        masked_input = torch.cat([special, mask * img, budget_token], dim=1)
+        ones = torch.ones(mask.size(0), 1, 1)
+        fwd_mask = torch.cat([ones, mask, ones], dim=1)
+        x = fwd_mask * self.ln_1(masked_input)
+        x, _ = self.self_attention(x, x, x)
+        x = fwd_mask * x
+        x = x + masked_input
+        y = fwd_mask * self.ln_2(x)
+        y = self.mlp(y)
+        return x + y, mask
