@@ -39,6 +39,7 @@ class Model:
     noise_args: Optional[dict] = None
     current_budget: Optional[float] = None
     current_noise: Optional[float] = None
+    state: dict = dataclasses.field(default_factory=dict)  # e.g. batch_stats
     _jitted: Any = dataclasses.field(default=None, repr=False)
 
     # ---- capability surface (replaces hasattr duck-typing) ----
@@ -59,14 +60,33 @@ class Model:
         """Reference NoiseBlock.set_value equivalent (blocks.py:182-186)."""
         self.current_noise = value
 
+    def enable_ranking(self, sort_tokens=True) -> None:
+        """RankPCT enable_ranking (reference rankpct.py:330-345): toggles
+        per-block ranking. Rebuilds the module config (one recompile)."""
+        if not hasattr(self.module, "ranking_enabled"):
+            raise AttributeError(f"{self.model_class} does not support enable_ranking")
+        n = self.module.num_layers
+        if isinstance(sort_tokens, bool):
+            sort_tokens = [sort_tokens] * n
+        self.module = dataclasses.replace(
+            self.module, ranking_enabled=tuple(bool(s) for s in sort_tokens)
+        )
+        self._jitted = None
+
     # ---- functional forward ----
     def apply_fn(self):
-        """The pure forward fn for jit/grad: (params, x, budget, noise, rngs)."""
+        """The pure forward fn for jit/grad: (params, x, budget, noise, rngs).
+
+        Captures non-param collections (batch_stats) statically; training
+        loops that must *update* batch_stats call module.apply directly with
+        ``mutable=['batch_stats']``.
+        """
         module = self.module
+        state = self.state
 
         def fn(params, x, budget, noise_value, rngs, train=False):
             return module.apply(
-                {"params": params},
+                {"params": params, **state},
                 x,
                 train=train,
                 budget=budget,

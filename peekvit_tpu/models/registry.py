@@ -141,13 +141,16 @@ def build_model(
     cls = resolve_model_class(model_class)
     module = cls(**ctor_args, **noise_kwargs)
 
+    state = {}
     if params is None:
         dummy = _dummy_input(module)
         budget = 1.0 if getattr(module, "accepts_budget", False) else None
         variables = module.init(
             init_rngs(seed), dummy, train=False, budget=budget, noise_value=None
         )
-        params = variables["params"]
+        variables = dict(variables)
+        params = variables.pop("params")
+        state = variables  # e.g. batch_stats for PCT models
 
     model = Model(
         module=module,
@@ -155,6 +158,7 @@ def build_model(
         model_class=model_class,
         model_args=model_args,
         noise_args=dict(noise_args) if noise_args else None,
+        state=state,
     )
     if model.has_noise:
         model.set_noise(0.0)  # reference models.py:80-84 resets noise to 0.0

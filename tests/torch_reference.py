@@ -181,3 +181,74 @@ class TorchSigmoidResidualBlock(nn.Module):
         y = fwd_mask * self.ln_2(x)
         y = self.mlp(y)
         return x + y, mask
+
+
+class TorchAViTBlock(nn.Module):
+    """forward_act (reference adavit.py:53-80), CPU, no dropout."""
+
+    def __init__(self, num_heads, hidden_dim, mlp_dim, gate_scale=10.0, gate_center=30.0):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(hidden_dim)
+        self.self_attention = nn.MultiheadAttention(hidden_dim, num_heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(hidden_dim)
+        self.mlp = TorchMLP(hidden_dim, mlp_dim)
+        self.gate_scale, self.gate_center = gate_scale, gate_center
+
+    def forward_act(self, x, mask):
+        bs, token, dim = x.shape
+        a = (1 - mask).view(bs, token, 1)
+        y = self.ln_1(x * a) * a
+        att, _ = self.self_attention(y, y, y)
+        x = x + att
+        z = self.ln_2(x * a) * a
+        x = x + self.mlp(z)
+        h = torch.sigmoid(x[:, :, 0] * self.gate_scale - self.gate_center)
+        return x, h
+
+
+class TorchAViTEncoder(nn.Module):
+    """ACT loop (reference adavit.py:140-219), CPU, batch-slice bug fixed
+    to mean(h[:,1:]) to match the documented divergence."""
+
+    def __init__(self, num_layers, num_heads, hidden_dim, mlp_dim, seq_length,
+                 eps=0.01, gate_scale=10.0, gate_center=30.0):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            TorchAViTBlock(num_heads, hidden_dim, mlp_dim, gate_scale, gate_center)
+            for _ in range(num_layers)
+        ])
+        self.ln = nn.LayerNorm(hidden_dim)
+        self.eps = eps
+        self.seq_length = seq_length
+
+    def forward(self, x):
+        bs = x.size(0)
+        n = self.seq_length
+        c_token = torch.zeros(bs, n)
+        R_token = torch.ones(bs, n)
+        mask_token = torch.ones(bs, n)
+        self.rho_token = torch.zeros(bs, n)
+        self.counter_token = torch.ones(bs, n) * 0 + 1.0
+        output = None
+        out = x
+        self.halting_score_layer = []
+        for i, layer in enumerate(self.layers):
+            out = out * mask_token.view(bs, n, 1)
+            block_output, h_token = layer.forward_act(out, 1.0 - mask_token)
+            self.halting_score_layer.append(torch.mean(h_token[:, 1:]))
+            out = block_output.clone()
+            block_output = block_output * mask_token.view(bs, n, 1)
+            if i == len(self.layers) - 1:
+                h_token = torch.ones(bs, n)
+            c_token = c_token + h_token
+            self.rho_token = self.rho_token + mask_token
+            reached = (c_token > 1 - self.eps).float() * mask_token
+            delta1 = block_output * R_token.view(bs, n, 1) * reached.view(bs, n, 1)
+            self.rho_token = self.rho_token + R_token * reached
+            not_reached = (c_token < 1 - self.eps).float()
+            R_token = R_token - not_reached * h_token
+            delta2 = block_output * h_token.view(bs, n, 1) * not_reached.view(bs, n, 1)
+            self.counter_token = self.counter_token + not_reached
+            mask_token = (c_token < 1 - self.eps).float()
+            output = delta1 + delta2 if output is None else output + delta1 + delta2
+        return self.ln(output)
