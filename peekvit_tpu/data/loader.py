@@ -1,0 +1,155 @@
+"""Batched, threaded data loader with device prefetch (replaces
+torch.utils.data.DataLoader at reference train/train.py:56-57).
+
+TPU-first design:
+- host-side decode/augment runs in a thread pool (PIL releases the GIL in
+  decode/resize), producing fixed-shape NHWC float32 batches;
+- ``prefetch_to_device`` keeps ``size`` batches resident on the chip so the
+  input pipeline overlaps with the jitted step (the torch equivalent is
+  pin_memory + non_blocking copies; on TPU it's simply an eager
+  ``jax.device_put`` queue).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Map-style loader: shuffling, batching, optional parallel decode.
+
+    Yields ``(batch_x, batch_y)`` numpy arrays. Deterministic given
+    ``seed`` (reshuffled per epoch by ``epoch`` in ``set_epoch``).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 0, drop_last: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = int(num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def _collate(self, items):
+        xs, ys = zip(*items)
+        return (
+            np.stack([np.asarray(x, dtype=np.float32) for x in xs]),
+            np.asarray(ys, dtype=np.int32),
+        )
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        n_batches = len(self)
+        batches = [
+            idx[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._collate([self.dataset[int(i)] for i in b])
+            return
+
+        pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+        try:
+            # pipeline: keep 2*num_workers batches in flight
+            def fetch(b):
+                return self._collate([self.dataset[int(i)] for i in b])
+
+            pending = collections.deque()
+            it = iter(batches)
+            for b in it:
+                pending.append(pool.submit(fetch, b))
+                if len(pending) >= 2 * self.num_workers:
+                    break
+            for b in it:
+                yield pending.popleft().result()
+                pending.append(pool.submit(fetch, b))
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator so ``size`` batches are already on device
+    (optionally with a ``NamedSharding`` for multi-chip data parallelism)."""
+    import jax
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return jax.tree.map(jax.device_put, batch)
+
+    queue = collections.deque()
+    it = iter(iterator)
+    for item in it:
+        queue.append(put(item))
+        if len(queue) == size:
+            break
+    for item in it:
+        yield queue.popleft()
+        queue.append(put(item))
+    while queue:
+        yield queue.popleft()
+
+
+class BackgroundIterator:
+    """Run an iterator in a daemon thread with a bounded queue — used to
+    overlap host augmentation with device steps across epochs."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator, maxsize: int = 4):
+        import queue as _q
+
+        self._q = _q.Queue(maxsize=maxsize)
+        self._thread = threading.Thread(
+            target=self._fill, args=(iterator,), daemon=True
+        )
+        self._err: Optional[BaseException] = None
+        self._thread.start()
+
+    def _fill(self, iterator):
+        try:
+            for item in iterator:
+                self._q.put(item)
+        except BaseException as e:  # surfaced on next()
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -448,8 +448,14 @@ class ResidualVisionTransformer(nn.Module):
         n = tokens.shape[0]
         current_budget = None
         if self.add_budget_token:
-            if train:
+            if train and budget is None:
                 current_budget = self._sample_budget(n)
+            elif train:
+                # training.train_budget: fixed budget during training
+                # (reference train.py:102-104, with the typo fixed — §7.2)
+                current_budget = jnp.broadcast_to(
+                    jnp.asarray(budget, jnp.float32), (n,)
+                )
             else:
                 if budget is None:
                     raise ValueError(

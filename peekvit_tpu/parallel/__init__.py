@@ -1,0 +1,27 @@
+"""Device-mesh parallelism layer (the "distributed backend" the reference
+lacks — SURVEY.md §2 parallelism inventory, §5).
+
+The reference is strictly single-GPU (train/train.py:41,61). TPU-native
+scaling is mesh-first: a ``jax.sharding.Mesh`` with a ``data`` axis (ICI)
+from day one — batch sharded, params replicated, XLA inserts the grad
+all-reduce. A ``model`` axis is plumbed through for tensor-parallel
+sharding of the attention/MLP weights at larger scales.
+"""
+
+from peekvit_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_params,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_params",
+]

@@ -1,0 +1,249 @@
+"""Jitted train/eval harness (reference train/train.py:97-161 inner loops).
+
+TPU-native structure:
+- ONE compiled train step for the whole run: budget and noise are traced
+  scalar operands, the lr lives in the optax opt-state (optim.py), and the
+  per-step PRNG is derived in-graph with ``jax.random.fold_in`` — nothing
+  recompiles across epochs, budget sweeps, or lr schedule steps.
+- mesh-first: batches are sharded over the ``data`` axis, params replicated
+  (or TP-sharded); XLA inserts the gradient all-reduce over ICI
+  (parallel/mesh.py). The same code path runs 1..N chips.
+- models that emit early-exit lists / reconstruction tuples are handled by
+  ``output_format`` (replacing the reference's isinstance checks,
+  train_img_reconstruction.py:97-108).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from peekvit_tpu.models.base import Model
+from peekvit_tpu.training.optim import (
+    OptimizerSpec,
+    SchedulerSpec,
+    get_learning_rate,
+    set_learning_rate,
+)
+from peekvit_tpu.utils.losses import LossCompose
+
+# params that stay trainable when train_backbone=False
+# (reference train.py:99-100 -> topology.py:128-157)
+FINETUNE_KEYWORDS = ("gate", "class", "head", "threshold", "budget")
+
+
+def param_filter_mask(params, keywords=FINETUNE_KEYWORDS):
+    """True = trainable. Matches the reference's substring filter over
+    parameter names (topology.train_only_these_params)."""
+
+    def visit(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        return any(kw in name for kw in keywords)
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def _main_logits(out, output_format: Optional[str]):
+    if output_format == "early_exits":
+        return out[-1]
+    if output_format in ("logits_recon_mask", "logits_recon"):
+        return out[0]
+    return out
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the compiled step fns + host-side schedule/checkpoint logic."""
+
+    model: Model
+    optimizer: OptimizerSpec
+    scheduler: Optional[SchedulerSpec] = None
+    main_criterion: Optional[Callable] = None
+    loss_compose: Optional[LossCompose] = None
+    clip_grad_norm: Optional[float] = None
+    train_backbone: bool = True
+    reconstruction_weight: float = 0.0  # masked-pixel MSE (recon trainer)
+    ee_weights: Optional[list] = None  # early-exit head weights (mean if None)
+    seed: int = 0
+    mesh: Any = None
+
+    def __post_init__(self):
+        if self.main_criterion is None:
+            from peekvit_tpu.training.optim import CrossEntropyLoss
+
+            self.main_criterion = CrossEntropyLoss()
+        mask = None
+        if not self.train_backbone:
+            mask = param_filter_mask(self.model.params)
+        tx = self.optimizer.build(param_mask=mask)
+        if self.clip_grad_norm:
+            tx = optax.chain(optax.clip_by_global_norm(self.clip_grad_norm), tx)
+        self.tx = tx
+        self.opt_state = tx.init(self.model.params)
+        self._base_key = jax.random.key(self.seed)
+        self._train_step = None
+        self._eval_step = None
+        self.output_format = getattr(self.model.module, "output_format", None)
+        if self.mesh is not None:
+            from peekvit_tpu.parallel import shard_params, replicated_sharding
+
+            self.model.params = shard_params(self.model.params, self.mesh)
+            self.opt_state = jax.device_put(
+                self.opt_state, replicated_sharding(self.mesh)
+            )
+
+    # ------------------------------------------------------------ train step
+
+    def _build_train_step(self):
+        apply_fn = self.model.apply_fn()
+        criterion = self.main_criterion
+        compose = self.loss_compose
+        out_fmt = self.output_format
+        tx = self.tx
+        recon_w = self.reconstruction_weight
+        ee_w = self.ee_weights
+
+        def loss_fn(params, x, y, budget, noise_value, rngs):
+            out, aux = apply_fn(params, x, budget, noise_value, rngs, train=True)
+            metrics = {}
+            if out_fmt == "early_exits":
+                # mean (or weighted) CE over every exit head
+                ces = jnp.stack([criterion(o, y) for o in out])
+                w = (
+                    jnp.asarray(ee_w, jnp.float32) / sum(ee_w)
+                    if ee_w
+                    else jnp.full((len(out),), 1.0 / len(out))
+                )
+                ce = jnp.sum(ces * w)
+            else:
+                ce = criterion(_main_logits(out, out_fmt), y)
+            total = ce
+            metrics["classification_loss"] = ce
+            if out_fmt == "logits_recon_mask" and recon_w:
+                _, recon, rmask = out
+                rec = jnp.mean(((x - recon) ** 2) * rmask)
+                metrics["reconstruction_loss"] = rec
+                total = total + recon_w * rec
+            if compose is not None and compose.additional_losses:
+                # per-sample budgets: regularize against the batch mean
+                b = aux.get("current_budget", budget)
+                if b is not None and getattr(b, "ndim", 0) > 0:
+                    b = jnp.mean(b)
+                d, reg = compose.compute(aux, budget=b)
+                metrics.update(d)
+                total = total + reg
+            metrics["total_loss"] = total
+            return total, metrics
+
+        def step(params, opt_state, x, y, budget, noise_value, step_idx):
+            key = jax.random.fold_in(self._base_key, step_idx)
+            names = ("dropout", "gumbel", "budget", "noise", "shuffle")
+            rngs = dict(zip(names, jax.random.split(key, len(names))))
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, budget, noise_value, rngs
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def train_step(self, x, y, budget=None, noise_value=None, step_idx=0):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        b = None if budget is None else jnp.float32(budget)
+        nv = None if noise_value is None else jnp.float32(noise_value)
+        self.model.params, self.opt_state, metrics = self._train_step(
+            self.model.params, self.opt_state, x, y, b, nv,
+            jnp.int32(step_idx),
+        )
+        return metrics
+
+    # ------------------------------------------------------------- eval step
+
+    def _build_eval_step(self):
+        apply_fn = self.model.apply_fn()
+        criterion = self.main_criterion
+        out_fmt = self.output_format
+
+        def step(params, x, y, budget, noise_value):
+            rngs = {"noise": jax.random.key(0)}
+            out, aux = apply_fn(params, x, budget, noise_value, rngs, train=False)
+            logits = _main_logits(out, out_fmt)
+            loss = criterion(logits, y)
+            correct = jnp.sum(jnp.argmax(logits, -1) == y)
+            return correct, loss, aux
+
+        return jax.jit(step)
+
+    def eval_step(self, x, y, budget=None, noise_value=None):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        b = None if budget is None else jnp.float32(budget)
+        nv = None if noise_value is None else jnp.float32(noise_value)
+        return self._eval_step(self.model.params, x, y, b, nv)
+
+    # --------------------------------------------------------------- epochs
+
+    def train_epoch(self, loader, epoch: int, logger=None, budget=None,
+                    noise_value=None, log_prefix: str = "train/") -> Dict[str, float]:
+        """One epoch (reference train.py:97-127): per-batch step + logging,
+        per-epoch scheduler step."""
+        if self.scheduler is not None:
+            lr = self.scheduler.lr_at(epoch, self.optimizer.lr)
+            self.opt_state = set_learning_rate(self.opt_state, lr)
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+
+        steps_per_epoch = len(loader) if hasattr(loader, "__len__") else 0
+        sums: Dict[str, float] = {}
+        count = 0
+        last_metrics = None
+        for i, (x, y) in enumerate(self._device_batches(loader)):
+            step_idx = epoch * max(steps_per_epoch, 1) + i
+            metrics = self.train_step(x, y, budget=budget,
+                                      noise_value=noise_value, step_idx=step_idx)
+            last_metrics = metrics
+            if logger is not None:
+                logger.log(
+                    {f"{log_prefix}{k}": v for k, v in _to_float(metrics).items()}
+                )
+            count += 1
+        if last_metrics is not None:
+            for k, v in _to_float(last_metrics).items():
+                sums[k] = v
+        lr_now = get_learning_rate(self.opt_state)
+        if logger is not None and lr_now is not None:
+            logger.log({f"{log_prefix}lr": lr_now})
+        sums["num_batches"] = count
+        return sums
+
+    def validate(self, loader, budget=None, noise_value=None):
+        """Accuracy + mean loss over a loader (reference train.py:129-145)."""
+        total, correct, loss_sum, batches = 0, 0, 0.0, 0
+        for x, y in self._device_batches(loader):
+            c, l, _ = self.eval_step(x, y, budget=budget, noise_value=noise_value)
+            correct += int(c)
+            loss_sum += float(l)
+            total += int(y.shape[0])
+            batches += 1
+        acc = correct / max(total, 1)
+        return acc, loss_sum / max(batches, 1)
+
+    def _device_batches(self, loader):
+        from peekvit_tpu.data.loader import prefetch_to_device
+
+        sharding = None
+        if self.mesh is not None:
+            from peekvit_tpu.parallel import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
+        return prefetch_to_device(iter(loader), size=2, sharding=sharding)
+
+
+def _to_float(metrics: Dict[str, Any]) -> Dict[str, float]:
+    return {k: float(v) for k, v in metrics.items()}

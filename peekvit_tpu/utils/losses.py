@@ -122,6 +122,8 @@ def solo_mse(
         sparsity = _per_image_sparsity(mask)  # (B,)
         per_layer_vals.append(jnp.sum(penalty(sparsity)) if per_layer else sparsity)
 
+    if not per_layer_vals:  # every gated layer skipped (e.g. 12-layer
+        return jnp.float32(0.0)  # skip_layers config on a shallower model)
     stacked = jnp.stack(per_layer_vals)  # (L,) or (L, B)
     if not per_layer:
         stacked = jnp.sum(penalty(jnp.mean(stacked)))

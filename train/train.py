@@ -1,0 +1,199 @@
+"""Train entry point (reference train/train.py:34-217).
+
+Usage mirrors the reference's hydra CLI:
+
+    python train/train.py [group=option ...] [key.sub=value ...]
+    python train/train.py -m model=vit_tiny,rankvit   # sequential multirun
+
+Composition comes from ``configs/train_config.yaml`` via the native config
+system (peekvit_tpu/utils/config.py). The reference's broken default
+``train_config_personal`` (SURVEY.md §7.1) is replaced by the shipped
+``train_config``; pass ``--config-name NAME`` to use another.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from peekvit_tpu.utils.config import (  # noqa: E402
+    instantiate,
+    load_config,
+    save_config,
+    to_plain,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-dir", default=os.path.join(
+        os.path.dirname(__file__), "..", "configs"))
+    p.add_argument("--config-name", default="train_config")
+    p.add_argument("-m", "--multirun", action="store_true")
+    p.add_argument("overrides", nargs="*")
+    return p.parse_args(argv)
+
+
+def expand_multirun(overrides):
+    """hydra --multirun: comma-valued overrides become a cartesian sweep."""
+    keys, options = [], []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        vals = val.split(",") if "," in val else [val]
+        keys.append(key)
+        options.append(vals)
+    for combo in itertools.product(*options):
+        yield [f"{k}={v}" for k, v in zip(keys, combo)]
+
+
+def train(cfg) -> dict:
+    import jax
+    import numpy as np
+
+    from peekvit_tpu.data.loader import DataLoader
+    from peekvit_tpu.models import topology
+    from peekvit_tpu.models.registry import build_model
+    from peekvit_tpu.parallel import make_mesh
+    from peekvit_tpu.training.trainer import Trainer
+    from peekvit_tpu.utils.checkpoint import (
+        get_checkpoint_path,
+        load_state,
+        make_experiment_directory,
+        save_state,
+    )
+    from peekvit_tpu.utils.losses import LossCompose
+
+    # --- experiment dir + logger (train.py:42-49)
+    experiment_dir = os.path.join(cfg.experiments_dir, cfg.experiment_name)
+    checkpoints_dir, images_dir = make_experiment_directory(experiment_dir)
+    save_config(cfg, os.path.join(experiment_dir, "config.yaml"))
+    logger = instantiate(cfg.logger, logging_dir=experiment_dir) \
+        if "logging_dir" not in (cfg.logger or {}) else instantiate(cfg.logger)
+    print(f"Experiment dir: {experiment_dir}", flush=True)
+
+    # --- dataset + loaders (train.py:54-57)
+    dataset = instantiate(cfg.dataset)
+    tr = cfg.training
+    train_loader = DataLoader(
+        dataset.train_dataset, tr.train_batch_size, shuffle=True,
+        num_workers=tr.get("num_workers", 8), drop_last=True, seed=cfg.seed,
+    )
+    val_loader = DataLoader(
+        dataset.val_dataset, tr.eval_batch_size,
+        num_workers=tr.get("num_workers", 8),
+    )
+
+    # --- model (train.py:60-61): registry build from the config node
+    model_cfg = to_plain(cfg.model)
+    model_class = model_cfg.pop("_target_").rsplit(".", 1)[-1]
+    noise_args = to_plain(cfg.noise) if cfg.get("noise") else None
+    model = build_model(
+        model_class, model_cfg, noise_args=noise_args,
+        remove_layers=tr.get("remove_layers") or None, seed=cfg.seed,
+    )
+
+    # --- optional checkpoint load (train.py:64-70)
+    if cfg.get("load_from"):
+        path = cfg.load_from
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "metadata.json")
+        ):
+            path = get_checkpoint_path(path)
+        print(f"Loading from {path}", flush=True)
+        model = load_state(path, model, strict=False)
+
+    if tr.get("reinit_class_tokens"):
+        model = topology.reinit_class_tokens(model, seed=cfg.seed)
+
+    # --- losses / optimizer / scheduler (train.py:79-94)
+    main_criterion = instantiate(cfg.loss.classification_loss)
+    loss_compose = LossCompose(to_plain(cfg.loss.get("additional_losses") or {}))
+    optimizer = instantiate(cfg.optimizer)
+    scheduler = instantiate(cfg.get("scheduler"))
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(
+        model=model,
+        optimizer=optimizer,
+        scheduler=scheduler,
+        main_criterion=main_criterion,
+        loss_compose=loss_compose,
+        clip_grad_norm=tr.get("clip_grad_norm"),
+        train_backbone=tr.get("train_backbone", True),
+        seed=cfg.seed,
+        mesh=mesh,
+    )
+
+    train_budget = tr.get("train_budget")
+    val_budgets = tr.get("val_budgets") or [None]
+    if not model.accepts_budget:
+        val_budgets = [None]  # budget fallback (test.py:59-65)
+
+    results = {"experiment_dir": experiment_dir, "val_accuracy": {}}
+    num_epochs = tr.num_epochs
+    for epoch in range(num_epochs + 1):  # reference range(num_epochs+1)
+        metrics = trainer.train_epoch(
+            train_loader, epoch, logger=logger, budget=train_budget
+        )
+        print(
+            f"epoch {epoch}: total_loss={metrics.get('total_loss', float('nan')):.4f}",
+            flush=True,
+        )
+
+        if tr.eval_every > 0 and epoch % tr.eval_every == 0:
+            for b in val_budgets:
+                acc, loss = trainer.validate(val_loader, budget=b)
+                tag = f"budget_{b}/val" if b is not None else "val"
+                logger.log({f"{tag}/accuracy": acc, f"{tag}/loss": loss})
+                print(f"  {tag}: acc={acc:.4f} loss={loss:.4f}", flush=True)
+                results["val_accuracy"][(epoch, b)] = acc
+
+        if tr.checkpoint_every > 0 and epoch % tr.checkpoint_every == 0:
+            path = save_state(checkpoints_dir, model, trainer.opt_state, epoch)
+            print(f"  checkpoint -> {path}", flush=True)
+
+        if (
+            tr.get("plot_masks_every", -1) > 0
+            and epoch % tr.plot_masks_every == 0
+            and model.accepts_budget
+        ):
+            try:
+                from peekvit_tpu.utils.visualize import plot_masked_images
+
+                subset = [dataset.val_dataset[i]
+                          for i in range(tr.get("num_images_to_plot", 10))]
+                for b in (x for x in val_budgets if x is not None):
+                    model.set_budget(b)
+                    plot_masked_images(
+                        model, subset,
+                        getattr(dataset, "denormalize_transform", None),
+                        save_dir=os.path.join(
+                            images_dir, f"epoch_{epoch}", f"budget_{b}"),
+                    )
+            except ImportError:
+                print("visualize module unavailable; skipping mask plots")
+
+    logger.close()
+    return results
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    runs = (
+        expand_multirun(args.overrides) if args.multirun else [args.overrides]
+    )
+    out = []
+    for overrides in runs:
+        cfg = load_config(args.config_dir, args.config_name, overrides)
+        if args.multirun:
+            print(f"=== multirun: {overrides} ===", flush=True)
+        out.append(train(cfg))
+    return out
+
+
+if __name__ == "__main__":
+    main()
