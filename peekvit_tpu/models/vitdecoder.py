@@ -91,8 +91,14 @@ class VisionTransformerDecoder(nn.Module):
         img = rearrange(
             tokens, "b (h w) (c p1 p2) -> b (h p1) (w p2) c", p1=p, p2=p, h=h
         )
-        # mask upscaled to image resolution (1 channel) for viz (":113-121")
+        # mask upscaled to image resolution (1 channel) for viz (":113-121").
+        # The reference slices the hidden-dim-expanded mask to p*p features,
+        # which crashes when hidden_dim < p^2 — the mask is constant across
+        # features, so broadcast the first channel instead (quirk fixed).
+        mask_patch = jnp.broadcast_to(
+            m[:, :, :1], (m.shape[0], m.shape[1], p * p)
+        )
         mask_img = rearrange(
-            m[:, :, : p * p], "b (h w) (p1 p2) -> b (h p1) (w p2)", p1=p, p2=p, h=h
+            mask_patch, "b (h w) (p1 p2) -> b (h p1) (w p2)", p1=p, p2=p, h=h
         )[..., None]
         return img, mask_img

@@ -129,8 +129,10 @@ def train(cfg) -> dict:
     )
 
     train_budget = tr.get("train_budget")
-    val_budgets = tr.get("val_budgets") or [None]
-    if not model.accepts_budget:
+    if model.accepts_budget:
+        # budget models need set_budget at eval; default to full budget
+        val_budgets = tr.get("val_budgets") or [1.0]
+    else:
         val_budgets = [None]  # budget fallback (test.py:59-65)
 
     results = {"experiment_dir": experiment_dir, "val_accuracy": {}}
