@@ -14,6 +14,7 @@ from peekvit_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     replicated_sharding,
+    shard_batch,
     shard_params,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
+    "shard_batch",
     "shard_params",
 ]

@@ -56,13 +56,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 # out-proj/fc2 (split input features) — the Megatron layout, which needs a
 # single psum per block and XLA inserts it from these shardings alone.
 _TP_RULES = [
-    (re.compile(r"(qkv|query|key|value|fc1).*kernel$"), P(None, MODEL_AXIS)),
-    (re.compile(r"(out|fc2).*kernel$"), P(MODEL_AXIS, None)),
+    # in_proj kernel (D, 3D) / fc1 kernel (D, M): split output features
+    (re.compile(r"(in_proj|fc1)_?kernel$"), P(None, MODEL_AXIS)),
+    # out_proj kernel (D, D) / fc2 kernel (M, D): split input features
+    (re.compile(r"(out_proj|fc2)_?kernel$"), P(MODEL_AXIS, None)),
+    # matching biases live on the split output dim
+    (re.compile(r"(in_proj|fc1)_?bias$"), P(MODEL_AXIS)),
 ]
 
 
 def param_spec(path: str, ndim: int, tensor_parallel: bool) -> P:
-    if tensor_parallel and ndim >= 2:
+    if tensor_parallel and ndim >= 1:
         for pat, spec in _TP_RULES:
             if pat.search(path):
                 return spec
