@@ -6,21 +6,25 @@ Prints ONE JSON line:
 
 The reference publishes no numbers (BASELINE.md), so the baseline is the
 hardware roofline: peak bf16 MXU FLOPs / analytic model FLOPs-per-image
-(utils/flops_count.py). ``vs_baseline`` = measured / roofline — the
-BASELINE.json target is >= 0.9 on a v5e-1.
+(utils/flops_count.py). ``vs_baseline`` = measured / roofline.
 
-Model runs in bfloat16 (params + activations) with fp32 accumulation —
-the TPU-native inference configuration.
+Timing method: the axon TPU tunnel acks dispatches before execution
+(``block_until_ready`` returns immediately), so wall-clock around dispatch
+loops measures nothing. Instead N forward passes run *on device* inside one
+jitted ``lax.fori_loop`` with a data-dependent carry, synced by fetching a
+scalar; per-iteration time = (loop(N) - loop(1)) / (N - 1), which also
+cancels the tunnel's scalar-fetch RTT.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
 
 
-# Peak bf16 FLOPs/s per chip (MXU). v5e ("TPU v5 lite"): 197 TFLOP/s.
+# Peak bf16 FLOPs/s per chip (MXU).
 PEAK_BF16_FLOPS = {
     "v5 lite": 197e12,
     "v5litepod": 197e12,
@@ -40,7 +44,31 @@ def peak_flops(device) -> float:
     return 197e12  # assume v5e
 
 
-def main(batch_size: int = 256, reps: int = 30):
+def device_seconds_per_iter(step_sum_fn, args, reps: int = 20) -> float:
+    """Time one on-device iteration of ``step_sum_fn(*args) -> f32 scalar``
+    via nested fori_loop timing (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def loop(args, n):
+        def body(i, carry):
+            return step_sum_fn(*args, carry)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(loop(args, 1))  # compile n=1
+    t0 = time.time()
+    float(loop(args, 1))
+    t1 = time.time() - t0
+    float(loop(args, reps + 1))  # compile n=reps+1
+    t0 = time.time()
+    float(loop(args, reps + 1))
+    tn = time.time() - t0
+    return (tn - t1) / reps
+
+
+def main(batch_size: int = 256, reps: int = 20):
     import jax
     import jax.numpy as jnp
 
@@ -58,25 +86,14 @@ def main(batch_size: int = 256, reps: int = 30):
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), model.params)
     apply_fn = model.apply_fn()
 
-    @jax.jit
-    def fwd(params, x):
-        logits, _ = apply_fn(params, x, None, None, {}, train=False)
-        return logits
+    def step_sum(params, x, carry):
+        logits, _ = apply_fn(params, x + carry * 0, None, None, {}, train=False)
+        return jnp.sum(logits.astype(jnp.float32))
 
-    x = jnp.zeros((batch_size, 224, 224, 3), jnp.bfloat16)
-    t0 = time.time()
-    fwd(params, x).block_until_ready()
-    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-
-    # warmup + timed reps
-    for _ in range(3):
-        fwd(params, x).block_until_ready()
-    t0 = time.time()
-    for _ in range(reps):
-        out = fwd(params, x)
-    out.block_until_ready()
-    elapsed = time.time() - t0
-    images_per_sec = batch_size * reps / elapsed
+    x = jax.random.normal(jax.random.key(0), (batch_size, 224, 224, 3),
+                          jnp.bfloat16)
+    sec_per_iter = device_seconds_per_iter(step_sum, (params, x), reps)
+    images_per_sec = batch_size / sec_per_iter
 
     flops_per_image = 2.0 * analytic_macs(model.module)
     roofline = peak_flops(dev) / flops_per_image

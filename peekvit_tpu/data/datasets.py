@@ -52,16 +52,39 @@ class ImageFolder(Dataset):
         if not self.samples:
             raise RuntimeError(f"No images found under {self.root}")
         self._rng = np.random.default_rng(seed)
+        self._native_spec = None  # resolved lazily; False = unavailable
 
     def __len__(self):
         return len(self.samples)
 
+    def _native_decode(self, path):
+        """C++ decode+transform fast path when the transform is the standard
+        eval recipe and the native library built (peekvit_tpu/native)."""
+        if self._native_spec is False:
+            return None
+        if self._native_spec is None:
+            from peekvit_tpu import native
+            from peekvit_tpu.data.transforms import native_spec
+
+            spec = native_spec(self.transform)
+            self._native_spec = spec if (spec and native.available()) else False
+            if self._native_spec is False:
+                return None
+        from peekvit_tpu import native
+
+        resize, size, mean, std = self._native_spec
+        with open(path, "rb") as f:
+            return native.decode_transform(f.read(), resize, size, mean, std)
+
     def __getitem__(self, idx):
         path, target = self.samples[idx]
-        with Image.open(path) as img:
-            img = img.convert("RGB")
-            sample = self.transform(img, self._rng) if _is_random(
-                self.transform) else (self.transform(img) if self.transform else img)
+        sample = self._native_decode(path)
+        if sample is None:
+            with Image.open(path) as img:
+                img = img.convert("RGB")
+                sample = self.transform(img, self._rng) if _is_random(
+                    self.transform) else (
+                        self.transform(img) if self.transform else img)
         if self.target_transform:
             target = self.target_transform(target)
         return sample, target

@@ -190,3 +190,22 @@ def test_transform(image_size: int) -> Compose:
         ToArray(),
         Normalize(),
     ])
+
+
+def native_spec(transform):
+    """If ``transform`` is the standard eval recipe (Resize -> CenterCrop ->
+    ToArray -> Normalize), return ``(resize, crop, mean, std)`` so the C++
+    pipeline (peekvit_tpu.native) can run it end to end; else None."""
+    if not isinstance(transform, Compose):
+        return None
+    ts = transform.transforms
+    if (
+        len(ts) == 4
+        and isinstance(ts[0], Resize)
+        and isinstance(ts[1], CenterCrop)
+        and isinstance(ts[2], ToArray)
+        and isinstance(ts[3], Normalize)
+        and ts[0].size[0] == ts[0].size[1]
+    ):
+        return (ts[0].size[0], ts[1].size, ts[3].mean, ts[3].std)
+    return None

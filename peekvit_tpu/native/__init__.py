@@ -1,0 +1,121 @@
+"""Native (C++) host-side image pipeline: build-on-first-use + ctypes ABI.
+
+``load_library()`` compiles image_pipeline.cpp with g++ (cached as a .so
+next to the source, rebuilt when the source is newer) and binds the C ABI.
+Falls back gracefully (``available() -> False``) when no toolchain or
+libjpeg/libpng are present — every caller keeps a PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "image_pipeline.cpp")
+_SO = os.path.join(_DIR, "image_pipeline.so")
+
+_lib = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC,
+        "-ljpeg", "-lpng", "-lpthread",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    except Exception as e:  # no g++ etc.
+        return str(e)
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    return None
+
+
+def load_library():
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if _build_error is not None:
+        return None
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        _build_error = _build()
+        if _build_error is not None:
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.pv_decode_transform.restype = ctypes.c_int
+    lib.pv_decode_transform.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.pv_load_batch.restype = ctypes.c_int
+    lib.pv_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.pv_decode.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.pv_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.pv_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def build_error() -> Optional[str]:
+    load_library()
+    return _build_error
+
+
+def _fptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def decode_transform(data: bytes, resize: int, size: int,
+                     mean, std) -> Optional[np.ndarray]:
+    """One in-memory JPEG/PNG -> normalized float32 (size, size, 3)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    ok = lib.pv_decode_transform(
+        data, len(data), resize, size, _fptr(mean), _fptr(std), _fptr(out)
+    )
+    return out if ok else None
+
+
+def load_batch(paths, resize: int, size: int, mean, std,
+               num_threads: int = 8):
+    """Decode+transform a batch of image files in native threads.
+
+    Returns (batch (n, size, size, 3) float32, ok flags (n,) bool).
+    """
+    lib = load_library()
+    if lib is None:
+        return None, None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.float32)
+    ok = np.zeros((n,), np.int32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lib.pv_load_batch(
+        c_paths, n, resize, size, _fptr(mean), _fptr(std), _fptr(out),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads,
+    )
+    return out, ok.astype(bool)

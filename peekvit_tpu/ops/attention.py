@@ -108,7 +108,9 @@ def multi_head_attention(
     ):
         from peekvit_tpu.ops.pallas.fused_attention import fused_attention
 
-        out = fused_attention(q, k, v, num_heads)
+        out = fused_attention(
+            q, k, v, num_heads, jax.default_backend() != "tpu"
+        )
     else:
         out = attention_core(
             q,

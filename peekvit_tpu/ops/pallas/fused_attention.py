@@ -1,0 +1,99 @@
+"""Fused multi-head attention Pallas kernel for ViT-scale sequences.
+
+ViT sequences are short (197 at 224/16, 401 at 160/8 + specials), so the
+whole (N, N) score matrix for one (batch, head) fits comfortably in VMEM —
+the right kernel shape is NOT flash-attention's streaming softmax but a
+single fused QK^T -> softmax -> PV per (batch, head) grid cell:
+
+- zero HBM traffic for the score matrix (XLA materializes softmax inputs
+  at fp32 between fusions; here scores never leave VMEM),
+- both matmuls hit the MXU at (N_pad, head_dim) x (head_dim, N_pad) and
+  (N_pad, N_pad) x (N_pad, head_dim) with lane-aligned padding,
+- padded key positions are masked with -inf before the softmax, so numerics
+  match ops.attention.attention_core exactly (parity-tested).
+
+Grid: (B, H). Block: full (N_pad, head_dim) slices of q/k/v.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    q = q_ref[0]  # (N_pad, hd)
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = (
+        jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    n_pad = logits.shape[-1]
+    if n_valid < n_pad:  # mask padded keys (static shapes -> constant mask)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+        logits = jnp.where(col < n_valid, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    num_heads: int, interpret: bool = False) -> jax.Array:
+    """Drop-in for attention_core(q, k, v, num_heads) without masks/dropout.
+
+    q/k/v: (B, N, D) with D = num_heads * head_dim. Returns (B, N, D).
+    ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    """
+    b, n, d = q.shape
+    head_dim = d // num_heads
+    scale = 1.0 / (head_dim ** 0.5)
+
+    # (B, N, D) -> (B*H, N_pad, hd_pad)
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    n_pad = _round_up(n, max(sublane, 128))
+    hd_pad = _round_up(head_dim, 128)
+
+    def split_heads(x):
+        x = x.reshape(b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
+        x = x.reshape(b * num_heads, n, head_dim)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, hd_pad - head_dim)))
+
+    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+
+    grid = (b * num_heads,)
+    spec = pl.BlockSpec((1, n_pad, hd_pad), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n_valid=n),
+        out_shape=jax.ShapeDtypeStruct((b * num_heads, n_pad, hd_pad), q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * n_pad * n_pad * hd_pad,
+            bytes_accessed=4 * b * num_heads * n_pad * hd_pad * 4,
+            transcendentals=b * num_heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
+
+    out = out[:, :n, :head_dim].reshape(b, num_heads, n, head_dim)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, d)

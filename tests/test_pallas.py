@@ -1,0 +1,87 @@
+"""Parity tests for Pallas TPU kernels vs the pure-jnp source of truth
+(interpret mode on the CPU test mesh; the same kernels compile on TPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from peekvit_tpu.ops.attention import (
+    attention_core,
+    get_attention_impl,
+    multi_head_attention,
+    set_attention_impl,
+)
+from peekvit_tpu.ops.pallas.fused_attention import fused_attention
+
+
+@pytest.mark.parametrize("n", [7, 64, 197])
+@pytest.mark.parametrize("num_heads", [1, 4])
+def test_fused_attention_parity(n, num_heads):
+    rng = np.random.default_rng(0)
+    b, d = 2, 32
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32) for _ in range(3)
+    )
+    want = attention_core(q, k, v, num_heads)
+    got = fused_attention(q, k, v, num_heads, True)  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_bf16():
+    rng = np.random.default_rng(1)
+    b, n, d = 2, 50, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, n, d)), jnp.bfloat16) for _ in range(3)
+    )
+    want = attention_core(q, k, v, 4)
+    got = fused_attention(q, k, v, 4, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_impl_switch_full_mhsa():
+    """multi_head_attention with impl='pallas' matches 'xla' end to end."""
+    rng = np.random.default_rng(2)
+    d = 32
+    x = jnp.asarray(rng.normal(size=(2, 17, d)), jnp.float32)
+    params = {
+        "in_proj": {
+            "kernel": jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(3 * d,)) * 0.1, jnp.float32),
+        },
+        "out_proj": {
+            "kernel": jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32),
+        },
+    }
+    want = multi_head_attention(x, params, 4)
+    assert get_attention_impl() == "xla"
+    set_attention_impl("pallas")
+    try:
+        got = multi_head_attention(x, params, 4)
+    finally:
+        set_attention_impl("xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_path_respects_mask_fallback():
+    """key_mask forces the jnp path even when impl='pallas'."""
+    rng = np.random.default_rng(3)
+    d = 16
+    x = jnp.asarray(rng.normal(size=(1, 9, d)), jnp.float32)
+    params = {
+        "in_proj": {"kernel": jnp.eye(d, 3 * d), "bias": jnp.zeros((3 * d,))},
+        "out_proj": {"kernel": jnp.eye(d), "bias": jnp.zeros((d,))},
+    }
+    mask = jnp.ones((1, 9)).at[0, -3:].set(0)
+    set_attention_impl("pallas")
+    try:
+        out = multi_head_attention(x, params, 2, key_mask=mask)
+    finally:
+        set_attention_impl("xla")
+    assert np.all(np.isfinite(np.asarray(out)))
