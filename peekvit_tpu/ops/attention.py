@@ -100,18 +100,22 @@ def multi_head_attention(
     dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full MHSA: packed qkv proj -> attention -> out proj. x: (B, N, D)."""
-    q, k, v = qkv_projection(x, params["in_proj"]["kernel"], params["in_proj"]["bias"])
     if (
         _ATTENTION_IMPL == "pallas"
         and key_mask is None
         and (dropout_rate == 0.0 or deterministic)
     ):
-        from peekvit_tpu.ops.pallas.fused_attention import fused_attention
+        from peekvit_tpu.ops.pallas.fused_attention import fused_mhsa
 
-        out = fused_attention(
-            q, k, v, num_heads, jax.default_backend() != "tpu"
+        qkv = (
+            jnp.einsum("bnd,de->bne", x, params["in_proj"]["kernel"])
+            + params["in_proj"]["bias"]
         )
+        out = fused_mhsa(qkv, num_heads, jax.default_backend() != "tpu")
     else:
+        q, k, v = qkv_projection(
+            x, params["in_proj"]["kernel"], params["in_proj"]["bias"]
+        )
         out = attention_core(
             q,
             k,

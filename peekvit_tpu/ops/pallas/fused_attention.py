@@ -29,6 +29,69 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _mhsa_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+    """All heads of one image per grid cell, sliced from packed qkv.
+
+    qkv_ref: (1, N, 3D) VMEM block. Head h's q/k/v live at lane offsets
+    [h*hd, D + h*hd, 2D + h*hd] — static slices, so no transpose ever
+    touches HBM and the (N, N) score matrix lives only in VMEM/registers.
+    """
+    three_d = qkv_ref.shape[-1]
+    d = three_d // 3
+    hd = d // num_heads
+    qkv = qkv_ref[0]
+    for h in range(num_heads):  # static unroll
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        logits = (
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jax.lax.dot_general(
+            weights.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fused_mhsa(qkv: jax.Array, num_heads: int, interpret: bool = False):
+    """Fused attention over packed qkv (B, N, 3D) -> (B, N, D).
+
+    Grid = (B,): one cell per image, all heads inside — few, fat grid cells
+    (3072 tiny (b,h) cells cost ~3us each in grid overhead, dominating the
+    85ns of per-cell compute; 256 one-per-image cells amortize it).
+    """
+    b, n, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    in_spec = pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mhsa_kernel, num_heads=num_heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        grid=(b,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * n * n * hd,
+            bytes_accessed=b * n * (three_d + d) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     q = q_ref[0]  # (N_pad, hd)
     k = k_ref[0]

@@ -85,3 +85,18 @@ def test_pallas_path_respects_mask_fallback():
     finally:
         set_attention_impl("xla")
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("n", [9, 197])
+def test_fused_mhsa_parity(n):
+    """Packed-qkv whole-image kernel matches the jnp core."""
+    from peekvit_tpu.ops.pallas.fused_attention import fused_mhsa
+
+    rng = np.random.default_rng(4)
+    b, d, heads = 2, 48, 4
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * d)), jnp.float32)
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    want = attention_core(q, k, v, heads)
+    got = fused_mhsa(qkv, heads, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
