@@ -69,9 +69,12 @@ def device_seconds_per_iter(step_sum_fn, args, reps: int = 20) -> float:
 
 
 def main(batch_size: int = 256, reps: int = 20):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
+    from peekvit_tpu.inference import vit_forward_fused
     from peekvit_tpu.models.registry import build_model
     from peekvit_tpu.utils.flops_count import analytic_macs
 
@@ -84,11 +87,13 @@ def main(batch_size: int = 256, reps: int = 20):
              hidden_dim=768, mlp_dim=3072, num_classes=1000),
     )
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), model.params)
-    apply_fn = model.apply_fn()
+    on_tpu = jax.default_backend() == "tpu"
+    fwd = functools.partial(
+        vit_forward_fused, patch_size=16, num_heads=12, interpret=not on_tpu
+    )
 
     def step_sum(params, x, carry):
-        logits, _ = apply_fn(params, x + carry * 0, None, None, {}, train=False)
-        return jnp.sum(logits.astype(jnp.float32))
+        return jnp.sum(fwd(params, x + carry * 0))
 
     x = jax.random.normal(jax.random.key(0), (batch_size, 224, 224, 3),
                           jnp.bfloat16)

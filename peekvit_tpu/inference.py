@@ -1,0 +1,141 @@
+"""Fused inference engine for the ViT family (the production serving path).
+
+The linen modules are the source of truth for training and parity; this
+module compiles an equivalent eval-only forward straight from the param
+pytree, with the per-block attention sublayer (LN -> qkv -> MHSA ->
+out-proj -> residual) executed as ONE Pallas kernel
+(ops/pallas/fused_attention.fused_attention_block). The MLP half stays on
+XLA, which already runs it at ~100% MXU utilization on v5e.
+
+Layer fusion needs the raw params (linen submodules own their LayerNorms,
+so a fused kernel can't be expressed inside the module tree without
+changing the checkpoint layout) — hence a separate engine that READS the
+standard param tree. Numerical parity with ``Model.__call__`` is pinned in
+tests/test_inference.py.
+
+Usage::
+
+    engine = InferenceEngine(model)            # plain ViT / RankViT family
+    logits = engine(images)                    # jitted, bf16, fused
+
+``bench.py`` uses this path for the headline throughput number.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _patchify(x: jax.Array, patch_size: int) -> jax.Array:
+    """NHWC image -> (B, n_patches, p*p*3) rows in conv-NHWC order."""
+    b, h, w, c = x.shape
+    p = patch_size
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+
+def _layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
+                      num_class_tokens: int = 1, num_registers: int = 0,
+                      ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
+                      fused_mlp: bool = True,
+                      interpret: bool = False) -> jax.Array:
+    """Eval forward of a plain ViT from its param tree (fused blocks)."""
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        fused_attention_block,
+        fused_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+
+    # conv patch-embed as a matmul (kernel HWIO -> (p*p*3, D))
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    wconv = wconv.reshape(-1, d)
+    tokens = _patchify(x, patch_size) @ wconv + cast(params["conv_proj"]["bias"])
+
+    b = tokens.shape[0]
+    # sequence layout [class tokens, registers, patches] (vit.py:229-236)
+    pieces = [jnp.broadcast_to(
+        cast(params["class_tokens"]), (b, num_class_tokens, d))]
+    if num_registers:
+        pieces.append(jnp.broadcast_to(
+            cast(params["register_tokens"]), (b, num_registers, d)))
+    pieces.append(tokens)
+    tokens = jnp.concatenate(pieces, axis=1)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    layer_ids = sorted(
+        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+    )
+    for i in layer_ids:
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        tokens = fused_attention_block(
+            tokens,
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            num_heads, ln_eps, interpret,
+        )
+        if fused_mlp:
+            tokens = fused_mlp_block(
+                tokens,
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+                cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+                ln_eps, interpret,
+            )
+        else:  # XLA MLP (reference path; already near MXU peak)
+            z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                            cast(lp["ln_2"]["bias"]), ln_eps)
+            z = jax.nn.gelu(z @ cast(lp["mlp"]["fc1_kernel"])
+                            + cast(lp["mlp"]["fc1_bias"]))
+            tokens = tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
+                               + cast(lp["mlp"]["fc2_bias"]))
+
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)  # SUM (§7.10)
+    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
+class InferenceEngine:
+    """Jitted fused eval forward bound to a built Model (plain ViT family)."""
+
+    def __init__(self, model, compute_dtype=jnp.bfloat16,
+                 interpret: Optional[bool] = None):
+        module = model.module
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self._fn = jax.jit(functools.partial(
+            vit_forward_fused,
+            patch_size=module.patch_size,
+            num_heads=module.num_heads,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            num_registers=getattr(module, "num_registers", 0),
+            ln_eps=getattr(module, "ln_eps", 1e-5),
+            compute_dtype=compute_dtype,
+            interpret=interpret,
+        ))
+        self.params = model.params
+
+    def __call__(self, images) -> jax.Array:
+        return self._fn(self.params, images)

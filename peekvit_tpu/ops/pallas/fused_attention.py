@@ -160,3 +160,135 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     out = out[:, :n, :head_dim].reshape(b, num_heads, n, head_dim)
     return out.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
+                       bo_ref, o_ref, *, num_heads: int, eps: float):
+    """Full pre-LN attention sublayer for one image:
+    out = x + OutProj(MHSA(LN(x))). Weights use constant index maps, so the
+    pipeline DMAs them into VMEM once and reuses them across the batch grid.
+    """
+    x = x_ref[0]  # (N, D)
+    n, d = x.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    ln = ln.astype(x.dtype)
+
+    qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    attn_cols = []
+    for h in range(num_heads):  # static unroll
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        logits = (
+            jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        weights = jax.nn.softmax(logits, axis=-1)
+        attn_cols.append(
+            jax.lax.dot_general(
+                weights.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    attn = jnp.concatenate(attn_cols, axis=-1)  # (N, D)
+
+    out = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    out = out + bo_ref[0].astype(jnp.float32) + xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                          num_heads: int, eps: float = 1e-5,
+                          interpret: bool = False):
+    """x + OutProj(MHSA(LN(x))) fused end to end. x: (B, N, D)."""
+    b, n, d = x.shape
+    full = lambda shape: pl.BlockSpec(  # noqa: E731 — weights: load once
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    row = lambda size: full((1, size))  # noqa: E731
+
+    hd = d // num_heads
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel, num_heads=num_heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row(d), row(d),
+            full((d, 3 * d)), row(3 * d),
+            full((d, d)), row(d),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (4 * d * d + 2 * n * d),
+            bytes_accessed=(2 * b * n * d + 4 * d * d) * x.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w_qkv,
+      b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d))
+
+
+def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref, *, eps: float):
+    """Fused pre-LN MLP sublayer for one image: out = x + fc2(gelu(fc1(LN(x)))).
+    The (N, mlp_dim) hidden activation never leaves VMEM (XLA writes it to
+    HBM between the fc1 and fc2 fusions: ~0.5 GB/layer at ViT-B bs256)."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    h = jnp.dot(ln.astype(x.dtype), w1_ref[...],
+                preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
+    out = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    out = out + b2_ref[0].astype(jnp.float32) + xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                    eps: float = 1e-5, interpret: bool = False):
+    """x + MLP(LN(x)) fused end to end. x: (B, N, D)."""
+    b, n, d = x.shape
+    m = w1.shape[-1]
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_block_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((1, d)), full((1, d)),
+            full((d, m)), full((1, m)),
+            full((m, d)), full((1, d)),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * n * d * m,
+            bytes_accessed=(2 * b * n * d + 2 * d * m) * x.dtype.itemsize,
+            transcendentals=b * n * m,
+        ),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1,
+      b1.reshape(1, m), w2, b2.reshape(1, d))

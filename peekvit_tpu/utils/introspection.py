@@ -48,6 +48,44 @@ def get_gating_probs(aux: dict) -> Dict[str, jnp.ndarray]:
     )
 
 
+def get_learned_thresholds(params: dict) -> Dict[str, float]:
+    """Learned gate thresholds per block from the param tree (reference
+    get_learned_thresholds, utils.py:125-135 — reads module attributes;
+    here the thresholds are leaves named 'threshold')."""
+    import jax
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if name.endswith("threshold"):
+            out[name] = float(leaf)
+    return out
+
+
+def get_moes(module) -> Dict[str, int]:
+    """Per-layer expert counts of a MoE module (reference get_moes,
+    utils.py:57-73 — module walking; here the counts are module config)."""
+    out = {}
+    for kind in ("mlp_moes", "attn_moes"):
+        counts = getattr(module, kind, None)
+        if counts:
+            for i, c in enumerate(counts):
+                if c and c > 1:
+                    out[f"layer_{i}/{kind[:-5]}"] = int(c)
+    return out
+
+
+def get_ranking_layers(module) -> list:
+    """Block indices that rank/prune tokens (reference
+    get_rankingvit_blocks, utils.py:140-156)."""
+    if getattr(module, "rankvit_layers", None):
+        return list(module.rankvit_layers)
+    enabled = getattr(module, "ranking_enabled", None)
+    if enabled:
+        return [i for i, e in enumerate(enabled) if e]
+    return []
+
+
 def sparsity_per_layer(aux: dict) -> Dict[str, float]:
     """Fraction of tokens KEPT per gated layer — the exact per-module
     sparsity the reference accumulated in its FLOPs hooks

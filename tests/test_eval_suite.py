@@ -194,3 +194,36 @@ def test_moe_and_mask_visualizers_inline(tiny_vit):
     # token norms on plain vit via capture_intermediates
     fig = viz.plot_token_norms(tiny_vit, img)
     assert fig
+
+
+def test_introspection_parity_helpers():
+    from peekvit_tpu.models.registry import build_model
+    from peekvit_tpu.utils.introspection import (
+        get_learned_thresholds,
+        get_moes,
+        get_ranking_layers,
+    )
+
+    rv = build_model(
+        "residualvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             gate_threshold="learnable", add_budget_token=None),
+    )
+    thr = get_learned_thresholds(rv.params)
+    assert thr and all(abs(v - 0.5) < 1e-6 for v in thr.values())
+
+    moe = build_model(
+        "moevit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10, mlp_moes=[1, 3]),
+    )
+    assert get_moes(moe.module) == {"layer_1/mlp": 3}
+
+    rk = build_model(
+        "rankvit",
+        dict(image_size=16, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10, rankvit_layers=[1, 2]),
+    )
+    assert get_ranking_layers(rk.module) == [1, 2]

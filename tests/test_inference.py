@@ -1,0 +1,56 @@
+"""Parity tests: the fused InferenceEngine must match the linen forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from peekvit_tpu.inference import InferenceEngine
+from peekvit_tpu.models.registry import build_model
+
+
+@pytest.mark.parametrize("num_class_tokens,num_registers",
+                         [(1, 0), (2, 3)])
+def test_engine_matches_linen_forward(num_class_tokens, num_registers):
+    model = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             num_class_tokens=num_class_tokens, num_registers=num_registers),
+        seed=3,
+    )
+    # zero-init head would make logits trivially equal — randomize it
+    k = jax.random.key(9)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    want, _ = model(x)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    got = engine(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_bf16_close():
+    model = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=1, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        seed=1,
+    )
+    k = jax.random.key(2)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 16, 16, 3)), jnp.float32
+    )
+    want, _ = model(x)
+    got = InferenceEngine(model, interpret=True)(x)
+    # bf16 activations: loose tolerance, but same argmax
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.1, atol=0.05)
+    assert np.array_equal(np.argmax(got, -1), np.argmax(np.asarray(want), -1))
