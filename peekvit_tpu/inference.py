@@ -117,6 +117,79 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     return logits.astype(jnp.float32)
 
 
+def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
+                          num_heads: int, rankvit_layers: tuple,
+                          num_class_tokens: int = 1, ln_eps: float = 1e-5,
+                          compute_dtype=jnp.bfloat16,
+                          interpret: bool = False) -> jax.Array:
+    """RankViT eval forward with PHYSICAL token dropping.
+
+    The linen RankViT is jit-stable across budgets (mask + key_mask algebra,
+    one compile for all budgets). This engine is the other point in the
+    design space (SURVEY.md §8 'static padded shapes ... one compile per
+    budget value is acceptable for eval sweeps'): ``budget`` is static, so
+    each ranked layer keeps ``ceil(n_alive * budget)`` tokens via a real
+    top-k gather and every later matmul shrinks. Logits match the masked
+    path exactly: excluded keys can't influence the class token, which is
+    all the head reads.
+    """
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        fused_attention_block,
+        fused_mlp_block,
+    )
+    import math
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        params["conv_proj"]["bias"]
+    )
+    b = tokens.shape[0]
+    c = num_class_tokens
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(cast(params["class_tokens"]), (b, c, d)), tokens],
+        axis=1,
+    )
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    layer_ids = sorted(
+        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+    )
+    for i in layer_ids:
+        if i in rankvit_layers and budget < 1.0:
+            n_alive = tokens.shape[1] - c
+            n_keep = int(math.ceil(n_alive * budget))  # rankvit.py:74
+            img = tokens[:, c:]
+            norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
+            _, idx = jax.lax.top_k(norms, n_keep)
+            kept = jnp.take_along_axis(img, idx[..., None], axis=1)
+            tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        tokens = fused_attention_block(
+            tokens,
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            num_heads, ln_eps, interpret,
+        )
+        tokens = fused_mlp_block(
+            tokens,
+            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+            cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+            ln_eps, interpret,
+        )
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(tokens[:, :c], axis=1)
+    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
 class InferenceEngine:
     """Jitted fused eval forward bound to a built Model (plain ViT family)."""
 
@@ -125,17 +198,33 @@ class InferenceEngine:
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        self._fn = jax.jit(functools.partial(
-            vit_forward_fused,
+        self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
+        common = dict(
             patch_size=module.patch_size,
             num_heads=module.num_heads,
             num_class_tokens=getattr(module, "num_class_tokens", 1),
-            num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
             compute_dtype=compute_dtype,
             interpret=interpret,
-        ))
+        )
+        if self._rank_layers:
+            self._rank_common = dict(common, rankvit_layers=self._rank_layers)
+            self._rank_fns = {}  # budget -> jitted fn (static shapes)
+            self._fn = None
+        else:
+            self._fn = jax.jit(functools.partial(
+                vit_forward_fused,
+                num_registers=getattr(module, "num_registers", 0),
+                **common,
+            ))
         self.params = model.params
 
-    def __call__(self, images) -> jax.Array:
+    def __call__(self, images, budget: Optional[float] = None) -> jax.Array:
+        if self._rank_layers:
+            b = 1.0 if budget is None else float(budget)
+            if b not in self._rank_fns:
+                self._rank_fns[b] = jax.jit(functools.partial(
+                    rankvit_forward_fused, budget=b, **self._rank_common
+                ))
+            return self._rank_fns[b](self.params, images)
         return self._fn(self.params, images)

@@ -54,3 +54,31 @@ def test_engine_bf16_close():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.1, atol=0.05)
     assert np.array_equal(np.argmax(got, -1), np.argmax(np.asarray(want), -1))
+
+
+def test_rankvit_engine_matches_masked_forward():
+    """Physical-drop engine == mask-based linen RankViT logits."""
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, rankvit_layers=[1, 2]),
+        seed=5,
+    )
+    k = jax.random.key(11)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    engine = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    for budget in (0.5, 1.0):
+        want, aux = model(x, budget=budget)
+        got = engine(x, budget=budget)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-4)
+        if budget < 1.0:
+            # engine physically shrinks: ceil(16*0.5)=8 then ceil(8*0.5)=4
+            import math
+
+            assert math.ceil(16 * 0.5) == 8
