@@ -6,6 +6,7 @@ import ast
 import os
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
@@ -109,3 +110,43 @@ def test_multirun_expansion():
 
     combos = list(expand_multirun(["a=1,2", "b=x"]))
     assert combos == [["a=1", "b=x"], ["a=2", "b=x"]]
+
+
+def test_train_avit_with_act_losses(tmp_path):
+    """Mini-train for the A-ViT family: ACT scan + ponder/distr-prior losses
+    flow through the jitted step (SURVEY §4 item 5)."""
+    res = _run_train(tmp_path, [
+        "model=avit_t_16_224",
+        "model.patch_size=8", "model.num_layers=3", "model.hidden_dim=32",
+        "model.mlp_dim=64", "model.num_heads=2",
+        "model.gate_scale=10.0", "model.gate_center=3.0",
+        "loss=avit_losses",
+        "loss.additional_losses.distr_prior_loss.target_depth=2",
+    ])
+    import ast
+
+    with open(os.path.join(res["experiment_dir"], "log.txt")) as f:
+        lines = [ast.literal_eval(line) for line in f]
+    keys = set().union(*(line.keys() for line in lines))
+    assert "train/ponder_loss" in keys
+    assert "train/distr_prior_loss" in keys
+    vals = [l["train/ponder_loss"] for l in lines if "train/ponder_loss" in l]
+    assert all(np.isfinite(v) for v in vals)
+
+
+def test_train_moevit(tmp_path):
+    res = _run_train(tmp_path, [
+        "model=moevit", "model.patch_size=8", "model.num_layers=2",
+        "model.hidden_dim=32", "model.mlp_dim=64", "model.num_heads=2",
+        "model.mlp_moes=[1,2]", "model.attn_moes=[1,1]",
+    ])
+    assert any(v > 0 for v in res["val_accuracy"].values())
+
+
+def test_profile_epoch_writes_trace(tmp_path):
+    res = _run_train(tmp_path, ["training.profile_epoch=0",
+                                "training.num_epochs=0",
+                                "training.eval_every=-1",
+                                "training.checkpoint_every=-1"])
+    prof = os.path.join(res["experiment_dir"], "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)

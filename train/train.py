@@ -67,6 +67,11 @@ def train(cfg) -> dict:
     )
     from peekvit_tpu.utils.losses import LossCompose
 
+    # --- debug/tracing hooks (SURVEY.md §5: TPU equivalents of the
+    # reference's absent sanitizers — jax_debug_nans + jax.profiler traces)
+    if cfg.training.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
     # --- experiment dir + logger (train.py:42-49)
     experiment_dir = os.path.join(cfg.experiments_dir, cfg.experiment_name)
     checkpoints_dir, images_dir = make_experiment_directory(experiment_dir)
@@ -137,10 +142,19 @@ def train(cfg) -> dict:
 
     results = {"experiment_dir": experiment_dir, "val_accuracy": {}}
     num_epochs = tr.num_epochs
+    profile_epoch = tr.get("profile_epoch", -1)
     for epoch in range(num_epochs + 1):  # reference range(num_epochs+1)
-        metrics = trainer.train_epoch(
-            train_loader, epoch, logger=logger, budget=train_budget
-        )
+        if epoch == profile_epoch:
+            trace_dir = os.path.join(experiment_dir, "profile")
+            print(f"profiling epoch {epoch} -> {trace_dir}", flush=True)
+            with jax.profiler.trace(trace_dir):
+                metrics = trainer.train_epoch(
+                    train_loader, epoch, logger=logger, budget=train_budget
+                )
+        else:
+            metrics = trainer.train_epoch(
+                train_loader, epoch, logger=logger, budget=train_budget
+            )
         print(
             f"epoch {epoch}: total_loss={metrics.get('total_loss', float('nan')):.4f}",
             flush=True,
