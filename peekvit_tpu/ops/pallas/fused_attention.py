@@ -164,14 +164,18 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
                        bo_ref, o_ref, *, num_heads: int, eps: float):
-    """Full pre-LN attention sublayer for one image:
+    """Full pre-LN attention sublayer for ``mi`` images per grid cell:
     out = x + OutProj(MHSA(LN(x))). Weights use constant index maps, so the
     pipeline DMAs them into VMEM once and reuses them across the batch grid.
+
+    LN / qkv / out-proj are token-wise, so the mi images' tokens are
+    processed as one (mi*N, D) matmul (bigger MXU tiles + amortized grid
+    overhead); only the per-head score matmuls loop per image.
     """
-    x = x_ref[0]  # (N, D)
-    n, d = x.shape
+    mi, n, d = x_ref.shape
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
 
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -188,34 +192,44 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
         q = qkv[:, h * hd:(h + 1) * hd]
         k = qkv[:, d + h * hd:d + (h + 1) * hd]
         v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
-        logits = (
-            jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        outs = []
+        for j in range(mi):  # per-image scores (no cross-image attention)
+            qj = q[j * n:(j + 1) * n]
+            kj = k[j * n:(j + 1) * n]
+            vj = v[j * n:(j + 1) * n]
+            logits = (
+                jax.lax.dot_general(
+                    qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
             )
-            * scale
-        )
-        weights = jax.nn.softmax(logits, axis=-1)
-        attn_cols.append(
-            jax.lax.dot_general(
-                weights.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        )
-    attn = jnp.concatenate(attn_cols, axis=-1)  # (N, D)
+            weights = jax.nn.softmax(logits, axis=-1)
+            outs.append(
+                jax.lax.dot_general(
+                    weights.astype(vj.dtype), vj,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(attn_cols, axis=-1)  # (mi*N, D)
 
     out = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
     out = out + bo_ref[0].astype(jnp.float32) + xf
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                           num_heads: int, eps: float = 1e-5,
-                          interpret: bool = False):
+                          interpret: bool = False, images_per_cell: int = 2):
     """x + OutProj(MHSA(LN(x))) fused end to end. x: (B, N, D)."""
     b, n, d = x.shape
+    mi = images_per_cell
+    while b % mi:
+        mi //= 2
+    mi = max(mi, 1)
     full = lambda shape: pl.BlockSpec(  # noqa: E731 — weights: load once
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     row = lambda size: full((1, size))  # noqa: E731
@@ -224,15 +238,15 @@ def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
     return pl.pallas_call(
         functools.partial(_attn_block_kernel, num_heads=num_heads, eps=eps),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
-        grid=(b,),
+        grid=(b // mi,),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             row(d), row(d),
             full((d, 3 * d)), row(3 * d),
             full((d, d)), row(d),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * (4 * d * d + 2 * n * d),
@@ -249,7 +263,8 @@ def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     """Fused pre-LN MLP sublayer for one image: out = x + fc2(gelu(fc1(LN(x)))).
     The (N, mlp_dim) hidden activation never leaves VMEM (XLA writes it to
     HBM between the fc1 and fc2 fusions: ~0.5 GB/layer at ViT-B bs256)."""
-    x = x_ref[0]
+    mi, n, d = x_ref.shape
+    x = x_ref[...].reshape(mi * n, d)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
@@ -260,29 +275,34 @@ def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     h = jax.nn.gelu(h + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
     out = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     out = out + b2_ref[0].astype(jnp.float32) + xf
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                    eps: float = 1e-5, interpret: bool = False):
+                    eps: float = 1e-5, interpret: bool = False,
+                    images_per_cell: int = 2):
     """x + MLP(LN(x)) fused end to end. x: (B, N, D)."""
     b, n, d = x.shape
     m = w1.shape[-1]
+    mi = images_per_cell
+    while b % mi:
+        mi //= 2
+    mi = max(mi, 1)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_mlp_block_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
-        grid=(b,),
+        grid=(b // mi,),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             full((1, d)), full((1, d)),
             full((d, m)), full((1, m)),
             full((m, d)), full((1, d)),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * n * d * m,

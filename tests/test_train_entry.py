@@ -150,3 +150,25 @@ def test_profile_epoch_writes_trace(tmp_path):
                                 "training.checkpoint_every=-1"])
     prof = os.path.join(res["experiment_dir"], "profile")
     assert os.path.isdir(prof) and os.listdir(prof)
+
+
+def test_train_eeresidualvit_early_exits(tmp_path):
+    """EE model trains with mean-CE over all exit heads."""
+    res = _run_train(tmp_path, [
+        "model=eeresidualvit", "model.patch_size=8", "model.num_layers=2",
+        "model.hidden_dim=32", "model.mlp_dim=64", "model.num_heads=2",
+        "model.residual_layers=['attention+mlp','attention+mlp']",
+        "training.val_budgets=[0.5]",
+    ])
+    assert res["val_accuracy"], "no validation ran"
+
+
+def test_train_maevit(tmp_path):
+    """MAE model (logits_recon output format) trains through the CLI."""
+    res = _run_train(tmp_path, [
+        "model=maevit", "model.patch_size=8", "model.num_layers=2",
+        "model.hidden_dim=32", "model.mlp_dim=64", "model.num_heads=2",
+        "model.decoder_hidden_dim=32", "model.decoder_mlp_dim=64",
+        "model.num_decoder_layers=1", "model.num_decoder_heads=2",
+    ])
+    assert res["val_accuracy"], "no validation ran"

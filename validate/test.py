@@ -69,6 +69,19 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     out_fmt = getattr(model.module, "output_format", None)
     criterion = CrossEntropyLoss()
 
+    # fused Pallas engine for the ViT/RankViT families (parity-tested in
+    # tests/test_inference.py); linen path for everything else or when a
+    # noise sweep is active.
+    engine = None
+    if tcfg.get("use_fused_engine", True) and noises == [None] and (
+        type(model.module).__name__ in
+        ("VisionTransformer", "RankVisionTransformer")
+    ):
+        from peekvit_tpu.inference import InferenceEngine
+
+        engine = InferenceEngine(model)
+        print("eval path: fused InferenceEngine", flush=True)
+
     @jax.jit
     def eval_step(params, x, y, budget, noise_value):
         out, aux = apply_fn(params, x, budget, noise_value,
@@ -93,7 +106,12 @@ def validate(model, cfg, dataset, experiment_dir, logger):
             for x, y in prefetch_to_device(iter(val_loader), size=2):
                 if flops_batch is None:
                     flops_batch = x
-                c, _, _ = eval_step(model.params, x, y, bb, nn_)
+                if engine is not None:
+                    logits = engine(x, budget=b) if model.accepts_budget \
+                        else engine(x)
+                    c = jnp.sum(jnp.argmax(logits, -1) == y)
+                else:
+                    c, _, _ = eval_step(model.params, x, y, bb, nn_)
                 correct += int(c)
                 total += int(y.shape[0])
             elapsed = time.time() - t0
@@ -105,16 +123,30 @@ def validate(model, cfg, dataset, experiment_dir, logger):
             if nv == noises[0]:
                 timings[b] = total / elapsed  # reference test.py:123-124
 
-        # device-only throughput: timed jitted steps on a resident batch
+        # device-only throughput: N steps inside one jitted fori_loop with a
+        # data-dependent carry (block_until_ready is unreliable through the
+        # axon tunnel — see bench.py docstring)
+        from bench import device_seconds_per_iter
+
         bs = int(flops_batch.shape[0])
         y0 = jnp.zeros((bs,), jnp.int32)
-        eval_step(model.params, flops_batch, y0, bb, None)[0].block_until_ready()
-        t0 = time.time()
-        reps = 10
-        for _ in range(reps):
-            c, _, _ = eval_step(model.params, flops_batch, y0, bb, None)
-        jax.block_until_ready(c)
-        device_timings[b] = bs * reps / (time.time() - t0)
+        if engine is not None:
+            if getattr(engine, "_rank_fns", None) is not None and b is not None:
+                engine(flops_batch, budget=b)  # populate per-budget fn cache
+                eng_fn = engine._rank_fns[float(b)]
+            else:
+                eng_fn = engine._fn
+
+            def step_sum(params, x, carry):
+                return jnp.sum(eng_fn(params, x + carry * 0))
+        else:
+            def step_sum(params, x, carry):
+                c, _, _ = eval_step(params, x + carry * 0, y0, bb, None)
+                return c.astype(jnp.float32)
+
+        sec = device_seconds_per_iter(step_sum, (model.params, flops_batch),
+                                      reps=5)
+        device_timings[b] = bs / sec
 
         if not tcfg.get("skip_flops_count", False):
             flops, params_count = compute_flops(model, flops_batch, budget=b)
