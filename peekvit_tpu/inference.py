@@ -117,6 +117,86 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     return logits.astype(jnp.float32)
 
 
+def quantize_vit_params(params):
+    """Pre-quantize every block's linear weights to int8 (per-output-channel
+    scales); LN / embed / head stay bf16. Returns the quantized pytree."""
+    from peekvit_tpu.ops.pallas.quant_blocks import quantize_linear
+
+    q = {"conv_proj": params["conv_proj"], "class_tokens": params["class_tokens"],
+         "head": params["head"], "encoder": {"pos_embedding":
+             params["encoder"]["pos_embedding"], "ln": params["encoder"]["ln"]}}
+    if "register_tokens" in params:
+        q["register_tokens"] = params["register_tokens"]
+    for name, lp in params["encoder"].items():
+        if not name.startswith("layers_"):
+            continue
+        at = lp["self_attention"]
+        wqkv_q, sqkv = quantize_linear(at["in_proj_kernel"])
+        wo_q, so = quantize_linear(at["out_proj_kernel"])
+        w1_q, s1 = quantize_linear(lp["mlp"]["fc1_kernel"])
+        w2_q, s2 = quantize_linear(lp["mlp"]["fc2_kernel"])
+        q["encoder"][name] = {
+            "ln_1": lp["ln_1"], "ln_2": lp["ln_2"],
+            "wqkv_q": wqkv_q, "sqkv": sqkv, "bqkv": at["in_proj_bias"],
+            "wo_q": wo_q, "so": so, "bo": at["out_proj_bias"],
+            "w1_q": w1_q, "s1": s1, "b1": lp["mlp"]["fc1_bias"],
+            "w2_q": w2_q, "s2": s2, "b2": lp["mlp"]["fc2_bias"],
+        }
+    return q
+
+
+def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
+                      num_class_tokens: int = 1, num_registers: int = 0,
+                      ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
+                      interpret: bool = False) -> jax.Array:
+    """int8 (w8a8) eval forward from quantize_vit_params output."""
+    from peekvit_tpu.ops.pallas.quant_blocks import (
+        quant_attention_block,
+        quant_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+    wconv = cast(qparams["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        qparams["conv_proj"]["bias"])
+    b = tokens.shape[0]
+    pieces = [jnp.broadcast_to(
+        cast(qparams["class_tokens"]), (b, num_class_tokens, d))]
+    if num_registers:
+        pieces.append(jnp.broadcast_to(
+            cast(qparams["register_tokens"]), (b, num_registers, d)))
+    pieces.append(tokens)
+    tokens = jnp.concatenate(pieces, axis=1)
+    enc = qparams["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    layer_ids = sorted(
+        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+    )
+    for i in layer_ids:
+        lp = enc[f"layers_{i}"]
+        tokens = quant_attention_block(
+            tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+            lp["wo_q"], lp["so"], cast(lp["bo"]),
+            num_heads, ln_eps, interpret,
+        )
+        tokens = quant_mlp_block(
+            tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            lp["w1_q"], lp["s1"], cast(lp["b1"]),
+            lp["w2_q"], lp["s2"], cast(lp["b2"]),
+            ln_eps, interpret,
+        )
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
+    logits = cls @ cast(qparams["head"]["kernel"]) + cast(
+        qparams["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
 def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
                           num_heads: int, rankvit_layers: tuple,
                           num_class_tokens: int = 1, ln_eps: float = 1e-5,
@@ -194,11 +274,27 @@ class InferenceEngine:
     """Jitted fused eval forward bound to a built Model (plain ViT family)."""
 
     def __init__(self, model, compute_dtype=jnp.bfloat16,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, quantized: bool = False):
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
+        if quantized:
+            if self._rank_layers:
+                raise NotImplementedError("quantized RankViT engine: use the "
+                                          "bf16 physical-drop path")
+            self.params = quantize_vit_params(model.params)
+            self._fn = jax.jit(functools.partial(
+                vit_forward_quant,
+                patch_size=module.patch_size,
+                num_heads=module.num_heads,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                ln_eps=getattr(module, "ln_eps", 1e-5),
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            ))
+            return
         common = dict(
             patch_size=module.patch_size,
             num_heads=module.num_heads,

@@ -82,3 +82,30 @@ def test_rankvit_engine_matches_masked_forward():
             import math
 
             assert math.ceil(16 * 0.5) == 8
+
+
+def test_quantized_engine_close_to_fp():
+    """w8a8 engine: small relative error vs fp32 forward, same argmax on
+    well-separated logits."""
+    model = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7),
+        seed=13,
+    )
+    k = jax.random.key(21)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 32, 32, 3)), jnp.float32
+    )
+    want, _ = model(x)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True)
+    got = engine(x)
+    want = np.asarray(want)
+    got = np.asarray(got)
+    rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
+    assert rel.mean() < 0.03, f"mean rel err {rel.mean()}"
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))
