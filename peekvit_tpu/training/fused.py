@@ -1,0 +1,111 @@
+"""Fused mixed-precision training path for the plain-ViT family.
+
+Mirrors peekvit_tpu/inference.py's engine but differentiable: the attention
+sublayer runs through the custom-VJP Pallas block
+(ops/pallas/fused_attention_vjp) so neither direction materializes fp32
+score matrices in HBM; the MLP half and all weight-grad matmuls stay on
+XLA (already at MXU peak). Master params stay fp32; compute is bf16
+(grads accumulate fp32 through the cast).
+
+Numerical parity with the linen train step is pinned in
+tests/test_fused_training.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from peekvit_tpu.inference import _layer_norm, _patchify
+
+
+def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
+                          num_class_tokens: int = 1, num_registers: int = 0,
+                          ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
+                          interpret: bool = False) -> jax.Array:
+    """Differentiable fused eval/train forward (no dropout paths — the
+    reference ViT configs all train with dropout 0.0)."""
+    from peekvit_tpu.ops.pallas.fused_attention_vjp import (
+        attention_block_trainable,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        params["conv_proj"]["bias"])
+    b = tokens.shape[0]
+    pieces = [jnp.broadcast_to(
+        cast(params["class_tokens"]), (b, num_class_tokens, d))]
+    if num_registers:
+        pieces.append(jnp.broadcast_to(
+            cast(params["register_tokens"]), (b, num_registers, d)))
+    pieces.append(tokens)
+    tokens = jnp.concatenate(pieces, axis=1)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    layer_ids = sorted(
+        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+    )
+    for i in layer_ids:
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        tokens = attention_block_trainable(
+            tokens,
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            num_heads, ln_eps, interpret, 1,
+        )
+        z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                        cast(lp["ln_2"]["bias"]), ln_eps)
+        z = jax.nn.gelu(z @ cast(lp["mlp"]["fc1_kernel"])
+                        + cast(lp["mlp"]["fc1_bias"]))
+        tokens = tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
+                           + cast(lp["mlp"]["fc2_bias"]))
+
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
+    logits = cls @ cast(params["head"]["kernel"]) + cast(
+        params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
+def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
+                          interpret: Optional[bool] = None):
+    """Jitted (params, opt_state, x, y) -> (params, opt_state, loss) for a
+    plain ViT with the fused-attention training path."""
+    import optax
+
+    module = model.module
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fwd = functools.partial(
+        vit_forward_trainable,
+        patch_size=module.patch_size,
+        num_heads=module.num_heads,
+        num_class_tokens=getattr(module, "num_class_tokens", 1),
+        num_registers=getattr(module, "num_registers", 0),
+        ln_eps=getattr(module, "ln_eps", 1e-5),
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = fwd(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    return step

@@ -1,0 +1,104 @@
+"""Gradient parity for the trainable fused attention block vs jax.grad of a
+pure-jnp reference (fp32, interpret mode)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from peekvit_tpu.ops.pallas.fused_attention_vjp import attention_block_trainable
+
+
+def _reference_block(x, lns, lnb, wqkv, bqkv, wo, bo, num_heads, eps=1e-5):
+    d = x.shape[-1]
+    hd = d // num_heads
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps) * lns + lnb
+    qkv = ln @ wqkv + bqkv
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    b, n, _ = x.shape
+    q = q.reshape(b, n, num_heads, hd)
+    k = k.reshape(b, n, num_heads, hd)
+    v = v.reshape(b, n, num_heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(float(hd))
+    w = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, d)
+    return attn @ wo + bo + x
+
+
+@pytest.mark.parametrize("mi", [1, 2])
+def test_attention_block_grads_match_reference(mi):
+    rng = np.random.default_rng(0)
+    b, n, d, heads = 2, 17, 32, 4
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
+    x = f32(b, n, d)
+    lns = jnp.ones((d,), jnp.float32) + 0.1 * f32(d)
+    lnb = 0.1 * f32(d)
+    wqkv, bqkv = 0.2 * f32(d, 3 * d), 0.05 * f32(3 * d)
+    wo, bo = 0.2 * f32(d, d), 0.05 * f32(d)
+    g_out = f32(b, n, d)
+
+    def loss_ref(*args):
+        return jnp.sum(_reference_block(*args, heads) * g_out)
+
+    def loss_fused(*args):
+        return jnp.sum(
+            attention_block_trainable(*args, heads, 1e-5, True, mi) * g_out
+        )
+
+    args = (x, lns, lnb, wqkv, bqkv, wo, bo)
+    out_ref = _reference_block(*args, heads)
+    out_fused = attention_block_trainable(*args, heads, 1e-5, True, mi)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    grads_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    grads_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dlns", "dlnb", "dwqkv", "dbqkv", "dwo", "dbo"]
+    for name, a, b_ in zip(names, grads_fused, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_trainable_block_in_train_step():
+    """The custom-VJP block composes with optax in a jitted step."""
+    import optax
+
+    rng = np.random.default_rng(1)
+    d, heads = 16, 2
+    params = {
+        "lns": jnp.ones((d,)), "lnb": jnp.zeros((d,)),
+        "wqkv": jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32),
+        "bqkv": jnp.zeros((3 * d,)),
+        "wo": jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32),
+        "bo": jnp.zeros((d,)),
+        "head": jnp.asarray(rng.normal(size=(d, 3)) * 0.1, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(4, 9, d)), jnp.float32)
+    y = jnp.asarray([0, 1, 2, 0])
+    tx = optax.adam(1e-2)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss(p):
+            h = attention_block_trainable(
+                x, p["lns"], p["lnb"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                heads, 1e-5, True, 1,
+            )
+            logits = jnp.mean(h, axis=1) @ p["head"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        l, grads = jax.value_and_grad(loss)(params)
+        upd, state = tx.update(grads, state)
+        return optax.apply_updates(params, upd), state, l
+
+    losses = []
+    for _ in range(10):
+        params, state, l = step(params, state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
