@@ -156,8 +156,12 @@ def _attn_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     dln = jax.lax.dot_general(
         dqkv, wqkv_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dlns_ref[0, :] = jnp.sum(dln * xhat, axis=0).astype(jnp.float32)
-    dlnb_ref[0, :] = jnp.sum(dln, axis=0).astype(jnp.float32)
+    # (1, 8, d) output block (TPU tiling needs sublane multiples of 8);
+    # partials live in row 0, the rest is zeroed and summed away by XLA.
+    # (iota+where, not .at[].set — Mosaic has no scatter lowering)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+    dlns_ref[0] = jnp.where(row == 0, jnp.sum(dln * xhat, axis=0)[None, :], 0.0)
+    dlnb_ref[0] = jnp.where(row == 0, jnp.sum(dln, axis=0)[None, :], 0.0)
     dx = _ln_bwd(dln, xhat, inv, gamma) + g
     dx_ref[...] = dx.reshape(mi, n, d).astype(dx_ref.dtype)
 
@@ -208,16 +212,18 @@ def _trainable_bwd(num_heads, eps, interpret, images_per_cell, res, g):
     io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     io3 = pl.BlockSpec((mi, n, 3 * d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    # per-cell LN-param partials summed by XLA afterwards
-    lnp = pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # per-cell LN-param partials summed by XLA afterwards ((1, 8, d)
+    # blocks: TPU tiling requires sublane multiples of 8)
+    lnp = pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
 
     dx, dqkv, dlns_parts, dlnb_parts = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads, eps=eps),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, d), x.dtype),
             jax.ShapeDtypeStruct((b, n, 3 * d), x.dtype),
-            jax.ShapeDtypeStruct((b // mi, d), jnp.float32),
-            jax.ShapeDtypeStruct((b // mi, d), jnp.float32),
+            jax.ShapeDtypeStruct((b // mi, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((b // mi, 8, d), jnp.float32),
         ),
         grid=(b // mi,),
         in_specs=[io, io, full((1, d)), full((1, d)), full((d, 3 * d)),
@@ -240,8 +246,8 @@ def _trainable_bwd(num_heads, eps, interpret, images_per_cell, res, g):
     attn_f = attn.reshape(-1, d)
     d_wout = (attn_f.T.astype(jnp.float32) @ gf).astype(w_out.dtype)
     d_bout = jnp.sum(gf, axis=0).astype(w_out.dtype)
-    d_lns = jnp.sum(dlns_parts, axis=0).astype(ln_scale.dtype)
-    d_lnb = jnp.sum(dlnb_parts, axis=0).astype(ln_bias.dtype)
+    d_lns = jnp.sum(dlns_parts, axis=(0, 1)).astype(ln_scale.dtype)
+    d_lnb = jnp.sum(dlnb_parts, axis=(0, 1)).astype(ln_bias.dtype)
     return dx, d_lns, d_lnb, d_wqkv, d_bqkv, d_wout, d_bout
 
 
