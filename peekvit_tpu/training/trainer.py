@@ -70,6 +70,9 @@ class Trainer:
     ee_weights: Optional[list] = None  # early-exit head weights (mean if None)
     seed: int = 0
     mesh: Any = None
+    # fused Pallas train path (training/fused.py): 'auto' uses it for plain
+    # ViTs with no dropout/noise/regularizers on the TPU backend
+    fused: Any = "auto"
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -98,7 +101,24 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
 
+    def _fused_eligible(self) -> bool:
+        module = self.model.module
+        if self.fused in (False, "never"):
+            return False
+        if self.fused == "auto" and jax.default_backend() != "tpu":
+            return False
+        return (
+            type(module).__name__ == "VisionTransformer"
+            and getattr(module, "dropout", 0.0) == 0.0
+            and getattr(module, "attention_dropout", 0.0) == 0.0
+            and getattr(module, "noise_layer", None) is None
+            and not (self.loss_compose and self.loss_compose.additional_losses)
+            and self.output_format is None
+        )
+
     def _build_train_step(self):
+        if self._fused_eligible():
+            return self._build_fused_train_step()
         apply_fn = self.model.apply_fn()
         criterion = self.main_criterion
         compose = self.loss_compose
@@ -149,6 +169,40 @@ class Trainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_fused_train_step(self):
+        """Pallas fused-attention train step (training/fused.py) for plain
+        ViTs: same signature/metrics as the linen step."""
+        import functools
+
+        from peekvit_tpu.training.fused import vit_forward_trainable
+
+        module = self.model.module
+        criterion = self.main_criterion
+        tx = self.tx
+        fwd = functools.partial(
+            vit_forward_trainable,
+            patch_size=module.patch_size,
+            num_heads=module.num_heads,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            num_registers=getattr(module, "num_registers", 0),
+            ln_eps=getattr(module, "ln_eps", 1e-5),
+            interpret=jax.default_backend() != "tpu",
+        )
+
+        def step(params, opt_state, x, y, budget, noise_value, step_idx):
+            def loss_fn(p):
+                logits = fwd(p, x)
+                ce = criterion(logits, y)
+                return ce, {"classification_loss": ce, "total_loss": ce}
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, metrics
 
         return jax.jit(step, donate_argnums=(0, 1))
 

@@ -78,3 +78,43 @@ def test_fused_train_step_converges():
         params, opt_state, loss = step(params, opt_state, x, y)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses[::5]
+
+
+def test_trainer_fused_path_cpu():
+    """Trainer with fused=True (forced, interpret on CPU): same metric keys,
+    loss decreases, lr schedule applies."""
+    import optax  # noqa: F401
+
+    from peekvit_tpu.training.optim import Adam
+    from peekvit_tpu.training.trainer import Trainer
+
+    model = _model()
+    trainer = Trainer(model=model, optimizer=Adam(lr=5e-3),
+                      clip_grad_norm=1.0, fused=True)
+    assert trainer._fused_eligible()
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+    y = jnp.arange(20) % 5
+    x = jnp.asarray(base[np.asarray(y)] + 0.1 * rng.normal(size=(20, 16, 16, 3)),
+                    jnp.float32)
+    losses = []
+    for i in range(12):
+        metrics = trainer.train_step(x, y, step_idx=i)
+        losses.append(float(metrics["total_loss"]))
+        assert set(metrics) == {"classification_loss", "total_loss"}
+    assert losses[-1] < losses[0]
+
+
+def test_trainer_fused_not_eligible_with_regularizers():
+    from peekvit_tpu.training.optim import Adam
+    from peekvit_tpu.training.trainer import Trainer
+    from peekvit_tpu.utils.losses import LossCompose
+
+    model = _model()
+    trainer = Trainer(
+        model=model, optimizer=Adam(lr=1e-3), fused=True,
+        loss_compose=LossCompose(
+            {"zero": {"_target_": "peekvit.utils.losses.AlwaysZeroLoss"}}
+        ),
+    )
+    assert not trainer._fused_eligible()

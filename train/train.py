@@ -131,6 +131,7 @@ def train(cfg) -> dict:
         train_backbone=tr.get("train_backbone", True),
         seed=cfg.seed,
         mesh=mesh,
+        fused=tr.get("fused", "auto"),
     )
 
     train_budget = tr.get("train_budget")
