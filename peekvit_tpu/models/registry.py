@@ -3,6 +3,10 @@
 Checkpoint/metadata contract preserved: ``build_model(model_class,
 model_args, noise_args, remove_layers)`` with the same alias map. Classes are
 resolved lazily so partially-built trees still import.
+
+Deliberately omitted from the reference inventory (SURVEY.md §7.18):
+``batchvit.py`` (an unimported duplicate of the plain ViT) and
+``topology.add_class_tokens`` (NotImplementedError stub in the reference).
 """
 
 from __future__ import annotations

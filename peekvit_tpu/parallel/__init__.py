@@ -13,6 +13,7 @@ from peekvit_tpu.parallel.mesh import (
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    param_spec,
     replicated_sharding,
     shard_batch,
     shard_params,
@@ -22,6 +23,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",
+    "param_spec",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

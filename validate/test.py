@@ -95,7 +95,15 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     device_timings: dict = {}
     sparsities_per_budget: dict = {}
 
+    # optional separate FLOPs/timing batch size (reference test.py:210-227
+    # builds a dedicated flops_loader with its own batch size)
+    flops_bs = tcfg.get("flops_batch_size")
     flops_batch = None
+    if flops_bs:
+        fl = DataLoader(dataset.val_dataset, flops_bs,
+                        num_workers=tcfg.get("num_workers", 8))
+        flops_batch = jnp.asarray(next(iter(fl))[0])
+
     for b in budgets:
         bb = None if b is None else jnp.float32(b)
         results_per_budget[b] = {}
