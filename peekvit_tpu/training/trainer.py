@@ -107,8 +107,12 @@ class Trainer:
             return False
         if self.fused == "auto" and jax.default_backend() != "tpu":
             return False
+        # RankViT trains exactly as a plain ViT (ranking is a train-free
+        # eval-time mechanism, reference rankvit.py:85-88), so it shares the
+        # fused path; its param tree is block-identical.
         return (
-            type(module).__name__ == "VisionTransformer"
+            type(module).__name__ in ("VisionTransformer",
+                                      "RankVisionTransformer")
             and getattr(module, "dropout", 0.0) == 0.0
             and getattr(module, "attention_dropout", 0.0) == 0.0
             and getattr(module, "noise_layer", None) is None

@@ -118,3 +118,30 @@ def test_trainer_fused_not_eligible_with_regularizers():
         ),
     )
     assert not trainer._fused_eligible()
+
+
+def test_trainer_fused_rankvit_training():
+    """RankViT trains through the fused path (ranking is eval-only)."""
+    from peekvit_tpu.training.optim import Adam
+    from peekvit_tpu.training.trainer import Trainer
+
+    model = build_model(
+        "rankvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5, rankvit_layers=[1]),
+        seed=6,
+    )
+    trainer = Trainer(model=model, optimizer=Adam(lr=5e-3), fused=True)
+    assert trainer._fused_eligible()
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+    y = jnp.arange(10) % 5
+    x = jnp.asarray(base[np.asarray(y)] + 0.1 * rng.normal(size=(10, 16, 16, 3)),
+                    jnp.float32)
+    losses = [float(trainer.train_step(x, y, step_idx=i)["total_loss"])
+              for i in range(10)]
+    assert losses[-1] < losses[0]
+    # eval path still ranks with budget after fused training
+    model.set_budget(0.5)
+    _, aux = model(x)
+    assert "layer_1" in aux["masks"]
