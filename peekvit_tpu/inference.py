@@ -24,7 +24,7 @@ Usage::
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -270,6 +270,112 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     return logits.astype(jnp.float32)
 
 
+def residualvit_forward_fused(params, images, budget, *, patch_size: int,
+                              num_heads: int, num_class_tokens: int = 1,
+                              num_registers: int = 0, gate_temp: float = 1.0,
+                              gate_bias: float = 0.0,
+                              budget_token: Any = "learnable",
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = False) -> jax.Array:
+    """Fused ResidualViT eval forward (sigmoid gates, 'attention+mlp' skip —
+    the mode every shipped config uses, SURVEY.md §7.6).
+
+    ``budget`` is a traced scalar: the whole sweep shares one compilation.
+    Per block: gate in XLA (a Dense(1) on img tokens + budget/threshold
+    shift, reference residualvit.py:58-69,210-213), then the masked fused
+    kernels apply the mask*LN trick (:249-260) with gated tokens staying
+    exactly zero. Block LN eps is 1e-6 (§7.12); the final encoder LN is
+    the default 1e-5.
+    """
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        masked_attention_block,
+        masked_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        params["conv_proj"]["bias"])
+    b = tokens.shape[0]
+    c = num_class_tokens
+    pieces = [jnp.broadcast_to(cast(params["class_tokens"]), (b, c, d))]
+    if num_registers:
+        pieces.append(jnp.broadcast_to(
+            cast(params["register_tokens"]), (b, num_registers, d)))
+    pieces.append(tokens)
+    tokens = jnp.concatenate(pieces, axis=1)
+
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])  # budget token excluded
+
+    budget_vec = jnp.broadcast_to(
+        jnp.asarray(budget, jnp.float32), (b,))[:, None, None]
+    if budget_token == "learnable":
+        btok = cast(params["learnable_budget_token_1"]) * budget_vec.astype(
+            compute_dtype)
+    elif budget_token:
+        btok = jnp.broadcast_to(budget_vec.astype(compute_dtype), (b, 1, d))
+    else:
+        raise NotImplementedError("fused residualvit engine needs a budget token")
+    btok = jnp.broadcast_to(btok, (b, 1, d))
+    tokens = jnp.concatenate([tokens, btok], axis=1)
+    s = c + num_registers  # special tokens at the front
+
+    layer_ids = sorted(
+        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+    )
+    for i in layer_ids:
+        lp = enc[f"layers_{i}"]
+        # ---- gate (XLA: Dense(1) + shift; reference :58-69,154-165)
+        img = tokens[:, s:-1]
+        gp = lp["residual_gate"]["projection"]
+        logits = img.astype(jnp.float32) @ gp["kernel"].astype(jnp.float32) \
+            + gp["bias"].astype(jnp.float32)
+        sig = jax.nn.sigmoid(logits / gate_temp + gate_bias)
+        if budget_token == "learnable":
+            bg = lp["budget_token_gate"]
+            thr = jax.nn.sigmoid(
+                tokens[:, -1:].astype(jnp.float32) @ bg["kernel"].astype(
+                    jnp.float32) + bg["bias"].astype(jnp.float32))
+            mask = jax.nn.relu(sig - thr)
+        else:
+            # scalar mean over the WHOLE batch's (evolving) budget token —
+            # reference quirk (residualvit.py:208), kept for parity
+            cur_b = jnp.mean(tokens[:, -1:].astype(jnp.float32))
+            mask = jax.nn.relu(sig - (1.0 - cur_b))
+        mask = mask.astype(compute_dtype)  # (B, N_img, 1)
+
+        ones = jnp.ones((b, 1, 1), compute_dtype)
+        fwd_mask = jnp.concatenate(
+            [jnp.ones((b, s, 1), compute_dtype), mask, ones], axis=1)
+        tokens = jnp.concatenate(
+            [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
+
+        at = lp["self_attention"]
+        tokens = masked_attention_block(
+            tokens, fwd_mask,
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            num_heads, 1e-6, interpret,
+        )
+        tokens = masked_mlp_block(
+            tokens, fwd_mask,
+            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+            cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+            1e-6, interpret,
+        )
+
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), 1e-5)
+    cls = jnp.sum(tokens[:, :c], axis=1)
+    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
 class InferenceEngine:
     """Jitted fused eval forward bound to a built Model (plain ViT family)."""
 
@@ -279,6 +385,31 @@ class InferenceEngine:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
+        self._residual = type(module).__name__ == "ResidualVisionTransformer"
+        if self._residual:
+            layers = module.residual_layers or ["attention+mlp"] * module.num_layers
+            if (set(layers) != {"attention+mlp"}
+                    or module.gate_type != "sigmoid"
+                    or module.add_input
+                    or not module.add_budget_token):
+                raise NotImplementedError(
+                    "fused ResidualViT engine supports the shipped-config "
+                    "mode: sigmoid gates, attention+mlp skip, budget token, "
+                    "add_input=False (SURVEY.md §7.6)")
+            self._fn = jax.jit(functools.partial(
+                residualvit_forward_fused,
+                patch_size=module.patch_size,
+                num_heads=module.num_heads,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                gate_temp=module.gate_temp,
+                gate_bias=module.gate_bias,
+                budget_token=module.add_budget_token,
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            ))
+            self.params = model.params
+            return
         if quantized:
             if self._rank_layers:
                 raise NotImplementedError("quantized RankViT engine: use the "
@@ -316,6 +447,9 @@ class InferenceEngine:
         self.params = model.params
 
     def __call__(self, images, budget: Optional[float] = None) -> jax.Array:
+        if getattr(self, "_residual", False):
+            b = 1.0 if budget is None else budget
+            return self._fn(self.params, images, jnp.float32(b))
         if self._rank_layers:
             b = 1.0 if budget is None else float(budget)
             if b not in self._rank_fns:

@@ -312,3 +312,121 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
         interpret=interpret,
     )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1,
       b1.reshape(1, m), w2, b2.reshape(1, d))
+
+
+# ------------------------------------------- masked (gated) block variants
+
+
+def _masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                        wo_ref, bo_ref, o_ref, *, num_heads: int, eps: float):
+    """ResidualViT attention sublayer:
+    out = x + mask * OutProj(MHSA(mask * LN(x))) — the attention OUTPUT is
+    masked too, so gated tokens stay exactly zero through the residual
+    (reference residualvit.py:249-260 plain_forward)."""
+    mi, n, d = x_ref.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
+    mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    ln = (ln * mask).astype(x.dtype)
+
+    qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+    cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        outs = []
+        for j in range(mi):
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            logits = jax.lax.dot_general(
+                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jax.nn.softmax(logits, axis=-1)
+            outs.append(jax.lax.dot_general(
+                s.astype(vj.dtype), vj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(cols, axis=-1)
+    out = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    out = (out + bo_ref[0].astype(jnp.float32)) * mask + xf
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+def _masked_mlp_kernel(x_ref, m_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                       w2_ref, b2_ref, o_ref, *, eps: float):
+    mi, n, d = x_ref.shape
+    x = x_ref[...].reshape(mi * n, d)
+    mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    ln = ln * mask
+    h = jnp.dot(ln.astype(x.dtype), w1_ref[...],
+                preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
+    out = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    out = out + b2_ref[0].astype(jnp.float32) + xf
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def masked_attention_block(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                           b_out, num_heads: int, eps: float = 1e-6,
+                           interpret: bool = False, images_per_cell: int = 2):
+    """x + OutProj(MHSA(mask * LN(x))); mask: (B, N, 1)."""
+    b, n, d = x.shape
+    mi = images_per_cell
+    while b % mi:
+        mi //= 2
+    mi = max(mi, 1)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_masked_attn_kernel, num_heads=num_heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b // mi,),
+        in_specs=[io, iom, full((1, d)), full((1, d)), full((d, 3 * d)),
+                  full((1, 3 * d)), full((d, d)), full((1, d))],
+        out_specs=io,
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w_qkv,
+      b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d))
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10))
+def masked_mlp_block(x, mask, ln_scale, ln_bias, w1, b1, w2, b2,
+                     eps: float = 1e-6, interpret: bool = False,
+                     images_per_cell: int = 2):
+    """x + MLP(mask * LN(x)); mask: (B, N, 1)."""
+    b, n, d = x.shape
+    m = w1.shape[-1]
+    mi = images_per_cell
+    while b % mi:
+        mi //= 2
+    mi = max(mi, 1)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_masked_mlp_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b // mi,),
+        in_specs=[io, iom, full((1, d)), full((1, d)), full((d, m)),
+                  full((1, m)), full((m, d)), full((1, d))],
+        out_specs=io,
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1,
+      b1.reshape(1, m), w2, b2.reshape(1, d))

@@ -109,3 +109,36 @@ def test_quantized_engine_close_to_fp():
     rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
     assert rel.mean() < 0.03, f"mean rel err {rel.mean()}"
     assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+@pytest.mark.parametrize("budget_token", ["learnable", 0.5])
+def test_residualvit_engine_matches_linen(budget_token):
+    """Fused masked-kernel ResidualViT engine == linen forward at budgets."""
+    model = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token=budget_token),
+        seed=17,
+    )
+    k = jax.random.key(23)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape
+    )
+    # make the gate non-trivial so masks differ across budgets
+    model.params["encoder"]["layers_0"]["residual_gate"]["projection"][
+        "kernel"
+    ] = jax.random.normal(k, (64, 1)) * 0.5
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    engine = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    outs = []
+    for budget in (0.3, 0.8):
+        want, aux = model(x, budget=budget)
+        got = engine(x, budget=budget)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3)
+        outs.append(np.asarray(got))
+    assert not np.allclose(outs[0], outs[1])  # budget actually matters

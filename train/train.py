@@ -67,6 +67,13 @@ def train(cfg) -> dict:
     )
     from peekvit_tpu.utils.losses import LossCompose
 
+    # --- multi-host: one flag turns on jax.distributed (ICI within a slice,
+    # DCN across slices; the mesh/sharding layer is already multi-chip)
+    if cfg.get("distributed"):
+        jax.distributed.initialize()
+        print(f"process {jax.process_index()}/{jax.process_count()}",
+              flush=True)
+
     # --- debug/tracing hooks (SURVEY.md §5: TPU equivalents of the
     # reference's absent sanitizers — jax_debug_nans + jax.profiler traces)
     if cfg.training.get("debug_nans"):

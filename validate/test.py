@@ -75,12 +75,16 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     engine = None
     if tcfg.get("use_fused_engine", True) and noises == [None] and (
         type(model.module).__name__ in
-        ("VisionTransformer", "RankVisionTransformer")
+        ("VisionTransformer", "RankVisionTransformer",
+         "ResidualVisionTransformer")
     ):
         from peekvit_tpu.inference import InferenceEngine
 
-        engine = InferenceEngine(model)
-        print("eval path: fused InferenceEngine", flush=True)
+        try:
+            engine = InferenceEngine(model)
+            print("eval path: fused InferenceEngine", flush=True)
+        except NotImplementedError as e:  # unsupported residual mode
+            print(f"fused engine unavailable ({e}); linen eval path", flush=True)
 
     @jax.jit
     def eval_step(params, x, y, budget, noise_value):
@@ -139,14 +143,22 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         bs = int(flops_batch.shape[0])
         y0 = jnp.zeros((bs,), jnp.int32)
         if engine is not None:
-            if getattr(engine, "_rank_fns", None) is not None and b is not None:
-                engine(flops_batch, budget=b)  # populate per-budget fn cache
-                eng_fn = engine._rank_fns[float(b)]
-            else:
+            if getattr(engine, "_residual", False):
                 eng_fn = engine._fn
+                bb_t = jnp.float32(1.0 if b is None else b)
 
-            def step_sum(params, x, carry):
-                return jnp.sum(eng_fn(params, x + carry * 0))
+                def step_sum(params, x, carry):
+                    return jnp.sum(eng_fn(params, x + carry * 0, bb_t))
+            else:
+                if getattr(engine, "_rank_fns", None) is not None \
+                        and b is not None:
+                    engine(flops_batch, budget=b)  # per-budget fn cache
+                    eng_fn = engine._rank_fns[float(b)]
+                else:
+                    eng_fn = engine._fn
+
+                def step_sum(params, x, carry):
+                    return jnp.sum(eng_fn(params, x + carry * 0))
         else:
             def step_sum(params, x, carry):
                 c, _, _ = eval_step(params, x + carry * 0, y0, bb, None)
