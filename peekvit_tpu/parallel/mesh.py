@@ -64,12 +64,24 @@ _TP_RULES = [
     (re.compile(r"(in_proj|fc1)_?bias$"), P(MODEL_AXIS)),
 ]
 
+# Expert parallelism: stacked MoE expert params (E, ...) shard the leading
+# expert axis over the model mesh axis; GSPMD turns the dense top-1 combine
+# einsum (moevit.py) into per-device expert compute + one all-reduce.
+_EP_RULES = [
+    (re.compile(r"experts/fc[12]_kernel$"), P(MODEL_AXIS, None, None)),
+    (re.compile(r"experts/fc[12]_bias$"), P(MODEL_AXIS, None)),
+]
+
 
 def param_spec(path: str, ndim: int, tensor_parallel: bool) -> P:
-    if tensor_parallel and ndim >= 1:
-        for pat, spec in _TP_RULES:
-            if pat.search(path):
+    if tensor_parallel:
+        for pat, spec in _EP_RULES:
+            if pat.search(path) and ndim == len(spec):
                 return spec
+        if ndim in (1, 2):
+            for pat, spec in _TP_RULES:
+                if pat.search(path):
+                    return spec
     return P()
 
 

@@ -98,3 +98,32 @@ def test_batch_sharding_spreads_over_devices():
     x = jnp.zeros((16, 4))
     xs = jax.device_put(x, batch_sharding(mesh))
     assert len(xs.sharding.device_set) == 8
+
+
+def test_ep_sharded_moe_forward_matches_replicated():
+    """Expert-parallel placement of MoE experts preserves results."""
+    x, _ = _data(4)
+    moe = build_model(
+        "moevit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10, mlp_moes=[2, 2]),
+        seed=3,
+    )
+    want, _ = moe(x)
+    mesh = make_mesh(n_data=4, n_model=2)
+    moe.params = shard_params(moe.params, mesh, tensor_parallel=True)
+    moe._jitted = None
+    got, _ = moe(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    k = moe.params["encoder"]["layers_0"]["mlp"]["experts"]["fc1_kernel"]
+    assert len(k.sharding.device_set) > 1
+
+
+def test_ep_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert param_spec("encoder/layers_0/mlp/experts/fc1_kernel", 3, True) == \
+        P(MODEL_AXIS, None, None)
+    assert param_spec("encoder/layers_0/mlp/experts/fc2_bias", 2, True) == \
+        P(MODEL_AXIS, None)
