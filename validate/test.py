@@ -43,10 +43,9 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     """One experiment's sweep (reference test.py:35-179)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from peekvit_tpu.data.loader import DataLoader, prefetch_to_device
-    from peekvit_tpu.training.trainer import Trainer, _main_logits
+    from peekvit_tpu.training.trainer import _main_logits
     from peekvit_tpu.training.optim import CrossEntropyLoss
     from peekvit_tpu.utils.flops_count import compute_flops, sparsity_per_module
 
@@ -186,7 +185,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     return summary
 
 
-def run_test(cfg, argv_config_dir=None):
+def run_test(cfg):
     from peekvit_tpu.data.loader import DataLoader  # noqa: F401 (config check)
     from peekvit_tpu.models.registry import build_model
     from peekvit_tpu.utils import visualize as viz
