@@ -49,6 +49,20 @@ def _layer_norm(x, scale, bias, eps):
     )
 
 
+# VMEM budget for weights resident in a fused kernel (v5e has 16 MB more or
+# less; leave room for activation blocks + double buffering). Bigger models
+# (ViT-L/H MLPs) fall back to the XLA path instead of OOMing the kernel.
+_KERNEL_WEIGHT_BYTES_LIMIT = 11 * 1024 * 1024
+
+
+def _mlp_fusable(d: int, m: int, itemsize: int = 2) -> bool:
+    return 2 * d * m * itemsize <= _KERNEL_WEIGHT_BYTES_LIMIT
+
+
+def _attn_fusable(d: int, itemsize: int = 2) -> bool:
+    return (3 * d * d + d * d) * itemsize <= _KERNEL_WEIGHT_BYTES_LIMIT
+
+
 def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
@@ -70,6 +84,11 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     tokens = _patchify(x, patch_size) @ wconv + cast(params["conv_proj"]["bias"])
 
     b = tokens.shape[0]
+    mlp_dim = params["encoder"][
+        next(k for k in params["encoder"] if k.startswith("layers_"))
+    ]["mlp"]["fc1_kernel"].shape[-1]
+    fused_mlp = fused_mlp and _mlp_fusable(d, mlp_dim)
+    fuse_attn = _attn_fusable(d)
     # sequence layout [class tokens, registers, patches] (vit.py:229-236)
     pieces = [jnp.broadcast_to(
         cast(params["class_tokens"]), (b, num_class_tokens, d))]
@@ -87,13 +106,24 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     for i in layer_ids:
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
-        tokens = fused_attention_block(
-            tokens,
-            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
-            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-            num_heads, ln_eps, interpret,
-        )
+        if fuse_attn:
+            tokens = fused_attention_block(
+                tokens,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                num_heads, ln_eps, interpret,
+            )
+        else:  # XLA fallback for very large hidden dims
+            from peekvit_tpu.ops.attention import attention_core
+
+            y = _layer_norm(tokens, cast(lp["ln_1"]["scale"]),
+                            cast(lp["ln_1"]["bias"]), ln_eps)
+            qkv = y @ cast(at["in_proj_kernel"]) + cast(at["in_proj_bias"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            y = attention_core(q, k, v, num_heads)
+            tokens = tokens + (y @ cast(at["out_proj_kernel"])
+                               + cast(at["out_proj_bias"]))
         if fused_mlp:
             tokens = fused_mlp_block(
                 tokens,
