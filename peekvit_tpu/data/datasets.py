@@ -76,6 +76,35 @@ class ImageFolder(Dataset):
         with open(path, "rb") as f:
             return native.decode_transform(f.read(), resize, size, mean, std)
 
+    def native_batch(self, indices, num_threads: int = 8):
+        """Decode+transform a whole batch in C++ worker threads (one GIL
+        release for the batch — peekvit_tpu/native pv_load_batch). Returns
+        (batch, labels) or None when the fast path is unavailable; files the
+        native decoder rejects fall back to PIL individually."""
+        if self._native_spec is False:
+            return None
+        # resolve the spec lazily (shared with _native_decode)
+        if self._native_spec is None:
+            self._native_decode(self.samples[0][0])
+        if self._native_spec is False:
+            return None
+        from peekvit_tpu import native
+
+        resize, size, mean, std = self._native_spec
+        paths = [self.samples[int(i)][0] for i in indices]
+        batch, ok = native.load_batch(paths, resize, size, mean, std,
+                                      num_threads=num_threads)
+        if batch is None:
+            return None
+        for j in np.nonzero(~ok)[0]:
+            batch[j] = np.asarray(self[int(indices[j])][0], np.float32)
+        labels = np.asarray(
+            [self.samples[int(i)][1] for i in indices], np.int64
+        )
+        if self.target_transform:
+            labels = np.asarray([self.target_transform(int(t)) for t in labels])
+        return batch, labels
+
     def __getitem__(self, idx):
         path, target = self.samples[idx]
         sample = self._native_decode(path)

@@ -67,22 +67,38 @@ class DataLoader:
             idx[i * self.batch_size:(i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        # C++ whole-batch fast path (ImageFolder + standard eval transform):
+        # decode threads live in native code, one GIL release per batch
+        native_fn = getattr(self.dataset, "native_batch", None)
+        if native_fn is not None and self.num_workers > 0:
+            probe = native_fn(batches[0][:1], num_threads=1) if batches else None
+            if probe is not None:
+                def fetch_native(b):
+                    x, y = native_fn(b, num_threads=self.num_workers)
+                    return x, y.astype(np.int32)
+
+                yield from self._pipelined(batches, fetch_native, workers=2)
+                return
         if self.num_workers <= 0:
             for b in batches:
                 yield self._collate([self.dataset[int(i)] for i in b])
             return
 
-        pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
-        try:
-            # pipeline: keep 2*num_workers batches in flight
-            def fetch(b):
-                return self._collate([self.dataset[int(i)] for i in b])
+        def fetch(b):
+            return self._collate([self.dataset[int(i)] for i in b])
 
+        yield from self._pipelined(batches, fetch, workers=self.num_workers)
+
+    def _pipelined(self, batches, fetch, workers: int):
+        """Run ``fetch`` over batches in a thread pool, keeping 2*workers
+        batches in flight, preserving order."""
+        pool = concurrent.futures.ThreadPoolExecutor(workers)
+        try:
             pending = collections.deque()
             it = iter(batches)
             for b in it:
                 pending.append(pool.submit(fetch, b))
-                if len(pending) >= 2 * self.num_workers:
+                if len(pending) >= 2 * workers:
                     break
             for b in it:
                 yield pending.popleft().result()

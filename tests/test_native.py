@@ -110,3 +110,29 @@ def test_image_folder_native_fast_path(tmp_path):
     ds_pil._native_spec = False  # force PIL path
     x_pil, _ = ds_pil[0]
     assert np.mean(np.abs(x - x_pil)) < 0.05
+
+
+def test_dataloader_uses_native_batch_path(tmp_path):
+    """DataLoader routes whole batches through pv_load_batch and matches the
+    per-item path exactly."""
+    from peekvit_tpu.data.loader import DataLoader
+
+    d = tmp_path / "c"
+    d.mkdir()
+    for i in range(9):
+        Image.fromarray(_rand_img(seed=40 + i), "RGB").save(
+            d / f"{i}.jpg", quality=95)
+
+    ds = ImageFolder(tmp_path, T.test_transform(32))
+    dl = DataLoader(ds, 4, num_workers=2)
+    batches = list(dl)
+    assert [b[0].shape[0] for b in batches] == [4, 4, 1]
+    # per-item reference
+    want = np.stack([np.asarray(ds[i][0]) for i in range(4)])
+    np.testing.assert_allclose(batches[0][0], want, atol=1e-6)
+    # shuffling still deterministic through the batch path
+    dl2 = DataLoader(ds, 4, shuffle=True, num_workers=2, seed=3)
+    a = [b[1] for b in dl2]
+    b = [b[1] for b in dl2]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
