@@ -115,6 +115,7 @@ def test_image_folder_native_fast_path(tmp_path):
 def test_dataloader_uses_native_batch_path(tmp_path):
     """DataLoader routes whole batches through pv_load_batch and matches the
     per-item path exactly."""
+    from peekvit_tpu.data.datasets import ImageFolder
     from peekvit_tpu.data.loader import DataLoader
 
     d = tmp_path / "c"
