@@ -49,6 +49,39 @@ def _layer_norm(x, scale, bias, eps):
     )
 
 
+
+def _embed(params, images, patch_size, num_class_tokens, num_registers, cast):
+    """Shared front end: conv patch-embed as matmul + [cls, registers,
+    patches] layout (vit.py:229-236). Returns (tokens, d)."""
+    x = cast(images)
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        params["conv_proj"]["bias"])
+    b = tokens.shape[0]
+    pieces = [jnp.broadcast_to(
+        cast(params["class_tokens"]), (b, num_class_tokens, d))]
+    if num_registers:
+        pieces.append(jnp.broadcast_to(
+            cast(params["register_tokens"]), (b, num_registers, d)))
+    pieces.append(tokens)
+    return jnp.concatenate(pieces, axis=1), d
+
+
+def _classify(params, tokens, num_class_tokens, cast, ln_eps=1e-5):
+    """Shared back end: final LN -> SUM of class tokens (§7.10) -> head."""
+    enc = params["encoder"]
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
+    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
+def _layer_ids(enc):
+    return sorted(int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+
+
 # VMEM budget for weights resident in a fused kernel (v5e has 16 MB more or
 # less; leave room for activation blocks + double buffering). Bigger models
 # (ViT-L/H MLPs) fall back to the XLA path instead of OOMing the kernel.
@@ -75,35 +108,15 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    x = cast(images)
-
-    # conv patch-embed as a matmul (kernel HWIO -> (p*p*3, D))
-    wconv = cast(params["conv_proj"]["kernel"])
-    d = wconv.shape[-1]
-    wconv = wconv.reshape(-1, d)
-    tokens = _patchify(x, patch_size) @ wconv + cast(params["conv_proj"]["bias"])
-
-    b = tokens.shape[0]
-    mlp_dim = params["encoder"][
-        next(k for k in params["encoder"] if k.startswith("layers_"))
-    ]["mlp"]["fc1_kernel"].shape[-1]
+    tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
+    enc = params["encoder"]
+    mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["mlp"]["fc1_kernel"].shape[-1]
     fused_mlp = fused_mlp and _mlp_fusable(d, mlp_dim)
     fuse_attn = _attn_fusable(d)
-    # sequence layout [class tokens, registers, patches] (vit.py:229-236)
-    pieces = [jnp.broadcast_to(
-        cast(params["class_tokens"]), (b, num_class_tokens, d))]
-    if num_registers:
-        pieces.append(jnp.broadcast_to(
-            cast(params["register_tokens"]), (b, num_registers, d)))
-    pieces.append(tokens)
-    tokens = jnp.concatenate(pieces, axis=1)
-    enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
 
-    layer_ids = sorted(
-        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
-    )
-    for i in layer_ids:
+    for i in _layer_ids(enc):
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
         if fuse_attn:
@@ -140,11 +153,7 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
             tokens = tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
                                + cast(lp["mlp"]["fc2_bias"]))
 
-    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
-                         cast(enc["ln"]["bias"]), ln_eps)
-    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)  # SUM (§7.10)
-    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
-    return logits.astype(jnp.float32)
+    return _classify(params, tokens, num_class_tokens, cast, ln_eps)
 
 
 def quantize_vit_params(params):
@@ -186,26 +195,12 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    x = cast(images)
-    wconv = cast(qparams["conv_proj"]["kernel"])
-    d = wconv.shape[-1]
-    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
-        qparams["conv_proj"]["bias"])
-    b = tokens.shape[0]
-    pieces = [jnp.broadcast_to(
-        cast(qparams["class_tokens"]), (b, num_class_tokens, d))]
-    if num_registers:
-        pieces.append(jnp.broadcast_to(
-            cast(qparams["register_tokens"]), (b, num_registers, d)))
-    pieces.append(tokens)
-    tokens = jnp.concatenate(pieces, axis=1)
+    tokens, d = _embed(qparams, images, patch_size, num_class_tokens,
+                       num_registers, cast)
     enc = qparams["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
 
-    layer_ids = sorted(
-        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
-    )
-    for i in layer_ids:
+    for i in _layer_ids(enc):
         lp = enc[f"layers_{i}"]
         tokens = quant_attention_block(
             tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
@@ -219,12 +214,7 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
             lp["w2_q"], lp["s2"], cast(lp["b2"]),
             ln_eps, interpret,
         )
-    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
-                         cast(enc["ln"]["bias"]), ln_eps)
-    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
-    logits = cls @ cast(qparams["head"]["kernel"]) + cast(
-        qparams["head"]["bias"])
-    return logits.astype(jnp.float32)
+    return _classify(qparams, tokens, num_class_tokens, cast, ln_eps)
 
 
 def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
@@ -250,25 +240,12 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     import math
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    x = cast(images)
-    wconv = cast(params["conv_proj"]["kernel"])
-    d = wconv.shape[-1]
-    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
-        params["conv_proj"]["bias"]
-    )
-    b = tokens.shape[0]
     c = num_class_tokens
-    tokens = jnp.concatenate(
-        [jnp.broadcast_to(cast(params["class_tokens"]), (b, c, d)), tokens],
-        axis=1,
-    )
+    tokens, d = _embed(params, images, patch_size, c, 0, cast)
     enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
 
-    layer_ids = sorted(
-        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
-    )
-    for i in layer_ids:
+    for i in _layer_ids(enc):
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
             n_keep = int(math.ceil(n_alive * budget))  # rankvit.py:74
@@ -293,11 +270,7 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
             cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
             ln_eps, interpret,
         )
-    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
-                         cast(enc["ln"]["bias"]), ln_eps)
-    cls = jnp.sum(tokens[:, :c], axis=1)
-    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
-    return logits.astype(jnp.float32)
+    return _classify(params, tokens, c, cast, ln_eps)
 
 
 def residualvit_forward_fused(params, images, budget, *, patch_size: int,
@@ -323,19 +296,9 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    x = cast(images)
-    wconv = cast(params["conv_proj"]["kernel"])
-    d = wconv.shape[-1]
-    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
-        params["conv_proj"]["bias"])
-    b = tokens.shape[0]
     c = num_class_tokens
-    pieces = [jnp.broadcast_to(cast(params["class_tokens"]), (b, c, d))]
-    if num_registers:
-        pieces.append(jnp.broadcast_to(
-            cast(params["register_tokens"]), (b, num_registers, d)))
-    pieces.append(tokens)
-    tokens = jnp.concatenate(pieces, axis=1)
+    tokens, d = _embed(params, images, patch_size, c, num_registers, cast)
+    b = tokens.shape[0]
 
     enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])  # budget token excluded
@@ -353,10 +316,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     tokens = jnp.concatenate([tokens, btok], axis=1)
     s = c + num_registers  # special tokens at the front
 
-    layer_ids = sorted(
-        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
-    )
-    for i in layer_ids:
+    for i in _layer_ids(enc):
         lp = enc[f"layers_{i}"]
         # ---- gate (XLA: Dense(1) + shift; reference :58-69,154-165)
         img = tokens[:, s:-1]
@@ -399,11 +359,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             1e-6, interpret,
         )
 
-    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
-                         cast(enc["ln"]["bias"]), 1e-5)
-    cls = jnp.sum(tokens[:, :c], axis=1)
-    logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
-    return logits.astype(jnp.float32)
+    return _classify(params, tokens, c, cast, ln_eps=1e-5)
 
 
 class InferenceEngine:

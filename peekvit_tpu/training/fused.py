@@ -19,7 +19,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from peekvit_tpu.inference import _layer_norm, _patchify
+from peekvit_tpu.inference import (_classify, _embed,
+                                   _layer_ids, _layer_norm)
 
 
 def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
@@ -33,26 +34,12 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    x = cast(images)
-    wconv = cast(params["conv_proj"]["kernel"])
-    d = wconv.shape[-1]
-    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
-        params["conv_proj"]["bias"])
-    b = tokens.shape[0]
-    pieces = [jnp.broadcast_to(
-        cast(params["class_tokens"]), (b, num_class_tokens, d))]
-    if num_registers:
-        pieces.append(jnp.broadcast_to(
-            cast(params["register_tokens"]), (b, num_registers, d)))
-    pieces.append(tokens)
-    tokens = jnp.concatenate(pieces, axis=1)
+    tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
     enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
 
-    layer_ids = sorted(
-        (int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
-    )
-    for i in layer_ids:
+    for i in _layer_ids(enc):
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
         tokens = attention_block_trainable(
@@ -69,12 +56,7 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
         tokens = tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
                            + cast(lp["mlp"]["fc2_bias"]))
 
-    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
-                         cast(enc["ln"]["bias"]), ln_eps)
-    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
-    logits = cls @ cast(params["head"]["kernel"]) + cast(
-        params["head"]["bias"])
-    return logits.astype(jnp.float32)
+    return _classify(params, tokens, num_class_tokens, cast, ln_eps)
 
 
 def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
