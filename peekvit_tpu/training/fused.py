@@ -26,9 +26,15 @@ from peekvit_tpu.inference import (_classify, _embed,
 def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                           num_class_tokens: int = 1, num_registers: int = 0,
                           ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
+                          remat: bool = False,
                           interpret: bool = False) -> jax.Array:
     """Differentiable fused eval/train forward (no dropout paths — the
-    reference ViT configs all train with dropout 0.0)."""
+    reference ViT configs all train with dropout 0.0).
+
+    ``remat=True`` wraps each block in jax.checkpoint: activations are
+    recomputed in the backward pass, trading ~1/3 more FLOPs for O(1)
+    per-layer activation memory (bigger batches on one chip).
+    """
     from peekvit_tpu.ops.pallas.fused_attention_vjp import (
         attention_block_trainable,
     )
@@ -39,8 +45,7 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
     enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
 
-    for i in _layer_ids(enc):
-        lp = enc[f"layers_{i}"]
+    def layer(tokens, lp):
         at = lp["self_attention"]
         tokens = attention_block_trainable(
             tokens,
@@ -53,13 +58,19 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                         cast(lp["ln_2"]["bias"]), ln_eps)
         z = jax.nn.gelu(z @ cast(lp["mlp"]["fc1_kernel"])
                         + cast(lp["mlp"]["fc1_bias"]))
-        tokens = tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
-                           + cast(lp["mlp"]["fc2_bias"]))
+        return tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
+                         + cast(lp["mlp"]["fc2_bias"]))
+
+    if remat:
+        layer = jax.checkpoint(layer)
+    for i in _layer_ids(enc):
+        tokens = layer(tokens, enc[f"layers_{i}"])
 
     return _classify(params, tokens, num_class_tokens, cast, ln_eps)
 
 
 def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
+                          remat: bool = False,
                           interpret: Optional[bool] = None):
     """Jitted (params, opt_state, x, y) -> (params, opt_state, loss) for a
     plain ViT with the fused-attention training path."""
@@ -76,6 +87,7 @@ def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
         num_registers=getattr(module, "num_registers", 0),
         ln_eps=getattr(module, "ln_eps", 1e-5),
         compute_dtype=compute_dtype,
+        remat=remat,
         interpret=interpret,
     )
 

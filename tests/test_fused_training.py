@@ -145,3 +145,24 @@ def test_trainer_fused_rankvit_training():
     model.set_budget(0.5)
     _, aux = model(x)
     assert "layer_1" in aux["masks"]
+
+
+def test_remat_grads_match_no_remat():
+    """jax.checkpoint over fused blocks changes memory, not gradients."""
+    model = _model()
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(3, 16, 16, 3)),
+                    jnp.float32)
+    y = jnp.asarray([0, 1, 2])
+
+    def loss(p, remat):
+        logits = vit_forward_trainable(
+            p, x, patch_size=8, num_heads=2, compute_dtype=jnp.float32,
+            remat=remat, interpret=True,
+        )
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    g0 = jax.grad(lambda p: loss(p, False))(model.params)
+    g1 = jax.grad(lambda p: loss(p, True))(model.params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
