@@ -112,5 +112,19 @@ def main(batch_size: int = 256, reps: int = 20):
     return result
 
 
+def main_with_retries(retries: int = 3, **kw):
+    """The axon tunnel occasionally throws a transient FAILED_PRECONDITION;
+    retry so the driver's end-of-round bench run survives it."""
+    for attempt in range(retries):
+        try:
+            return main(**kw)
+        except Exception as e:  # jax.errors.JaxRuntimeError etc.
+            if attempt == retries - 1:
+                raise
+            print(f"bench attempt {attempt + 1} failed ({e}); retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(20)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retries()
