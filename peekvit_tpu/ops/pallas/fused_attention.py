@@ -29,6 +29,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _safe_images_per_cell(mi: int, b: int, n: int, d: int) -> int:
+    """Mosaic cannot retile the in-kernel (mi, n, d) -> (mi*n, d) reshape
+    when n is not sublane-aligned AND d is lane-padded (measured: n%8 != 0
+    and d%128 != 0 fails; either alignment alone is fine)."""
+    if n % 8 and d % 128:
+        mi = 1
+    while b % mi:
+        mi //= 2
+    return max(mi, 1)
+
+
 def _mhsa_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
     """All heads of one image per grid cell, sliced from packed qkv.
 
@@ -226,10 +237,7 @@ def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                           interpret: bool = False, images_per_cell: int = 2):
     """x + OutProj(MHSA(LN(x))) fused end to end. x: (B, N, D)."""
     b, n, d = x.shape
-    mi = images_per_cell
-    while b % mi:
-        mi //= 2
-    mi = max(mi, 1)
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
     full = lambda shape: pl.BlockSpec(  # noqa: E731 — weights: load once
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     row = lambda size: full((1, size))  # noqa: E731
@@ -285,10 +293,7 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
     """x + MLP(LN(x)) fused end to end. x: (B, N, D)."""
     b, n, d = x.shape
     m = w1.shape[-1]
-    mi = images_per_cell
-    while b % mi:
-        mi //= 2
-    mi = max(mi, 1)
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -385,10 +390,7 @@ def masked_attention_block(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
                            interpret: bool = False, images_per_cell: int = 2):
     """x + OutProj(MHSA(mask * LN(x))); mask: (B, N, 1)."""
     b, n, d = x.shape
-    mi = images_per_cell
-    while b % mi:
-        mi //= 2
-    mi = max(mi, 1)
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -412,10 +414,7 @@ def masked_mlp_block(x, mask, ln_scale, ln_bias, w1, b1, w2, b2,
     """x + MLP(mask * LN(x)); mask: (B, N, 1)."""
     b, n, d = x.shape
     m = w1.shape[-1]
-    mi = images_per_cell
-    while b % mi:
-        mi //= 2
-    mi = max(mi, 1)
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -26,6 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from peekvit_tpu.ops.pallas.fused_attention import _safe_images_per_cell
+
+
 def quantize_linear(w: jax.Array):
     """(in, out) weights -> (int8 weights, (1, out) fp32 scales)."""
     w = w.astype(jnp.float32)
@@ -131,10 +134,7 @@ def quant_attention_block(x, ln_scale, ln_bias, wqkv_q, sqkv, b_qkv,
                           interpret: bool = False, images_per_cell: int = 2):
     """int8 x + OutProj(MHSA(LN(x))). Weight args from quantize_linear."""
     b, n, d = x.shape
-    mi = images_per_cell
-    while b % mi:
-        mi //= 2
-    mi = max(mi, 1)
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
     io, (w_lns, w_lnb, w_qkv, w_sqkv, w_bqkv, w_o, w_so, w_bo) = _specs(
         mi, n, d,
         [(1, d), (1, d), (d, 3 * d), (1, 3 * d), (1, 3 * d),
@@ -158,10 +158,7 @@ def quant_mlp_block(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
     """int8 x + MLP(LN(x)). Weight args from quantize_linear."""
     b, n, d = x.shape
     m = w1_q.shape[-1]
-    mi = images_per_cell
-    while b % mi:
-        mi //= 2
-    mi = max(mi, 1)
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
     io, (w_lns, w_lnb, w_1, w_s1, w_b1, w_2, w_s2, w_b2) = _specs(
         mi, n, d,
         [(1, d), (1, d), (d, m), (1, m), (1, m), (m, d), (1, d), (1, d)],
