@@ -252,3 +252,247 @@ def _trainable_bwd(num_heads, eps, interpret, images_per_cell, res, g):
 
 
 attention_block_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+# ---------------------------------------------- masked (gated) trainable
+
+
+def _masked_fwd_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                       wo_ref, bo_ref, o_ref, attn_ref,
+                       *, num_heads: int, eps: float):
+    """ResidualViT attention sublayer fwd:
+    out = x + mask * OutProj(MHSA(mask * LN(x))); also emits attn for dWo."""
+    mi, n, d = x_ref.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
+    mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    ln, _, _ = _ln_f32(x, lns_ref[0].astype(jnp.float32),
+                       lnb_ref[0].astype(jnp.float32), eps)
+    s1 = (ln * mask).astype(x.dtype)
+    qkv = jnp.dot(s1, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        outs = []
+        for j in range(mi):
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            logits = jax.lax.dot_general(
+                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jax.nn.softmax(logits, axis=-1)
+            outs.append(jax.lax.dot_general(
+                s.astype(vj.dtype), vj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(cols, axis=-1)
+    attn_ref[...] = attn.reshape(mi, n, d)
+
+    proj = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    proj = proj + bo_ref[0].astype(jnp.float32)
+    out = proj * mask + xf
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+def _masked_bwd_kernel(x_ref, m_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
+                       bqkv_ref, wo_ref, bo_ref,
+                       dx_ref, dqkv_ref, dm_ref, dlns_ref, dlnb_ref,
+                       *, num_heads: int, eps: float):
+    """Backward of the masked attention sublayer (recompute style).
+
+    Emits dx (residual + LN bwd folded in), dqkv (for XLA's dWqkv), dm
+    (the gate mask cotangent: both the output-mask and the input-mask
+    terms), and per-cell LN-param partials.
+    """
+    mi, n, d = x_ref.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
+    mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    g = g_ref[...].reshape(mi * n, d).astype(jnp.float32)
+    gamma = lns_ref[0].astype(jnp.float32)
+    beta = lnb_ref[0].astype(jnp.float32)
+
+    # --- recompute forward
+    ln_f32, xhat, inv = _ln_f32(x, gamma, beta, eps)
+    s1 = (ln_f32 * mask).astype(x.dtype)
+    qkv = jnp.dot(s1, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        outs = []
+        for j in range(mi):
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            logits = jax.lax.dot_general(
+                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jax.nn.softmax(logits, axis=-1)
+            outs.append(jax.lax.dot_general(
+                s.astype(vj.dtype), vj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        heads.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(heads, axis=-1)
+    proj = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    proj = proj + bo_ref[0].astype(jnp.float32)
+
+    # --- backward
+    # out = proj * mask + x   =>   dproj = g * mask ; dm += sum(g*proj, -1)
+    dproj = g * mask
+    dm = jnp.sum(g * proj, axis=-1, keepdims=True)
+    dattn = jax.lax.dot_general(
+        dproj.astype(x.dtype), wo_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    dq_cols, dk_cols, dv_cols = [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        da_h = dattn[:, h * hd:(h + 1) * hd]
+        dq_l, dk_l, dv_l = [], [], []
+        for j in range(mi):
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            daj = da_h[j * n:(j + 1) * n]
+            logits = jax.lax.dot_general(
+                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jax.nn.softmax(logits, axis=-1)
+            dv_l.append(jax.lax.dot_general(
+                s.astype(x.dtype), daj,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+            ds = jax.lax.dot_general(
+                daj, vj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dz = s * (ds - jnp.sum(ds * s, axis=-1, keepdims=True))
+            dzb = (dz * scale).astype(x.dtype)
+            dq_l.append(jax.lax.dot_general(
+                dzb, kj, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+            dk_l.append(jax.lax.dot_general(
+                dzb, qj, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+        cat = (lambda ls: jnp.concatenate(ls, axis=0) if mi > 1 else ls[0])
+        dq_cols.append(cat(dq_l))
+        dk_cols.append(cat(dk_l))
+        dv_cols.append(cat(dv_l))
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)
+    dqkv_ref[...] = dqkv.reshape(mi, n, 3 * d)
+
+    # ds1 = dqkv @ Wqkv^T ; s1 = mask * ln
+    ds1 = jax.lax.dot_general(
+        dqkv, wqkv_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dm = dm + jnp.sum(ds1 * ln_f32, axis=-1, keepdims=True)
+    dln = ds1 * mask
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+    dlns_ref[0] = jnp.where(row == 0, jnp.sum(dln * xhat, axis=0)[None, :], 0.0)
+    dlnb_ref[0] = jnp.where(row == 0, jnp.sum(dln, axis=0)[None, :], 0.0)
+    dx = _ln_bwd(dln, xhat, inv, gamma) + g
+    dx_ref[...] = dx.reshape(mi, n, d).astype(dx_ref.dtype)
+    dm_ref[...] = dm.reshape(mi, n, 1).astype(dm_ref.dtype)
+
+
+def _masked_fwd_call(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                     num_heads, eps, interpret, mi):
+    b, n, d = x.shape
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_masked_fwd_kernel, num_heads=num_heads, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, n, d), x.dtype)),
+        grid=(b // mi,),
+        in_specs=[io, iom, full((1, d)), full((1, d)), full((d, 3 * d)),
+                  full((1, 3 * d)), full((d, d)), full((1, d))],
+        out_specs=(io, io),
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w_qkv,
+      b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def masked_attention_block_trainable(x, mask, ln_scale, ln_bias, w_qkv,
+                                     b_qkv, w_out, b_out, num_heads: int,
+                                     eps: float = 1e-6,
+                                     interpret: bool = False):
+    """Differentiable x + mask*OutProj(MHSA(mask*LN(x))); the mask is a
+    differentiable operand, so gate gradients flow (ResidualViT training)."""
+    out, _ = _masked_fwd_call(x, mask, ln_scale, ln_bias, w_qkv, b_qkv,
+                              w_out, b_out, num_heads, eps, interpret, 1)
+    return out
+
+
+def _masked_trainable_fwd(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                          b_out, num_heads, eps, interpret):
+    out, attn = _masked_fwd_call(x, mask, ln_scale, ln_bias, w_qkv, b_qkv,
+                                 w_out, b_out, num_heads, eps, interpret, 1)
+    return out, (x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, attn)
+
+
+def _masked_trainable_bwd(num_heads, eps, interpret, res, g):
+    x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, attn = res
+    b, n, d = x.shape
+    mi = 1
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    io3 = pl.BlockSpec((mi, n, 3 * d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lnp = pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    dx, dqkv, dm, dlns_parts, dlnb_parts = pl.pallas_call(
+        functools.partial(_masked_bwd_kernel, num_heads=num_heads, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((b, n, 3 * d), x.dtype),
+            jax.ShapeDtypeStruct((b, n, 1), mask.dtype),
+            jax.ShapeDtypeStruct((b // mi, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((b // mi, 8, d), jnp.float32),
+        ),
+        grid=(b // mi,),
+        in_specs=[io, iom, io, full((1, d)), full((1, d)), full((d, 3 * d)),
+                  full((1, 3 * d)), full((d, d)), full((1, d))],
+        out_specs=(io, io3, iom, lnp, lnp),
+        interpret=interpret,
+    )(x, mask, g, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w_qkv,
+      b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d))
+
+    # XLA weight-grad matmuls; s1 = mask*LN(x) recomputed cheaply
+    gf = g.reshape(-1, d).astype(jnp.float32)
+    xf = x.reshape(-1, d).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps)
+          * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32))
+    s1 = (ln * mask.reshape(-1, 1).astype(jnp.float32)).astype(x.dtype)
+    dqkv_f = dqkv.reshape(-1, 3 * d)
+    d_wqkv = (s1.T @ dqkv_f).astype(w_qkv.dtype)
+    d_bqkv = jnp.sum(dqkv_f.astype(jnp.float32), axis=0).astype(w_qkv.dtype)
+    dproj = gf * mask.reshape(-1, 1).astype(jnp.float32)
+    attn_f = attn.reshape(-1, d)
+    d_wout = (attn_f.T.astype(jnp.float32) @ dproj).astype(w_out.dtype)
+    d_bout = jnp.sum(dproj, axis=0).astype(w_out.dtype)
+    d_lns = jnp.sum(dlns_parts, axis=(0, 1)).astype(ln_scale.dtype)
+    d_lnb = jnp.sum(dlnb_parts, axis=(0, 1)).astype(ln_bias.dtype)
+    return dx, dm, d_lns, d_lnb, d_wqkv, d_bqkv, d_wout, d_bout
+
+
+masked_attention_block_trainable.defvjp(_masked_trainable_fwd,
+                                        _masked_trainable_bwd)

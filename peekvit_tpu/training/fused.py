@@ -103,3 +103,108 @@ def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
         return optax.apply_updates(params, updates), opt_state2, loss
 
     return step
+
+
+def residualvit_forward_trainable(params, images, budget_vec, *,
+                                  patch_size: int, num_heads: int,
+                                  num_class_tokens: int = 1,
+                                  num_registers: int = 0,
+                                  gate_temp: float = 1.0,
+                                  gate_bias: float = 0.0,
+                                  budget_token="learnable",
+                                  compute_dtype=jnp.bfloat16,
+                                  interpret: bool = False):
+    """Differentiable fused ResidualViT forward (sigmoid gates,
+    'attention+mlp' skip). Returns (logits, aux) with aux['masks'] and
+    aux['current_budget'] so LossCompose regularizers apply unchanged.
+
+    ``budget_vec``: (B,) per-sample budgets — the caller samples them
+    (reference residualvit.py:541-550 samples inside the module; here the
+    trainer owns the PRNG). Gates run on XLA and their gradients flow into
+    the masked custom-VJP attention kernel's dmask cotangent.
+    """
+    from peekvit_tpu.ops.pallas.fused_attention_vjp import (
+        masked_attention_block_trainable,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    c = num_class_tokens
+    tokens, d = _embed(params, images, patch_size, c, num_registers, cast)
+    b = tokens.shape[0]
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])  # budget token excluded
+
+    bvec = budget_vec.astype(jnp.float32)[:, None, None]
+    if budget_token == "learnable":
+        btok = cast(params["learnable_budget_token_1"]) * bvec.astype(
+            compute_dtype)
+    elif budget_token == "learnable_interpolate":
+        btok = (cast(params["learnable_budget_token_1"]) * bvec.astype(
+            compute_dtype)
+            + cast(params["learnable_budget_token_2"])
+            * (1.0 - bvec).astype(compute_dtype))
+    else:
+        btok = bvec.astype(compute_dtype)
+    btok = jnp.broadcast_to(btok, (b, 1, d))
+    tokens = jnp.concatenate([tokens, btok], axis=1)
+    s = c + num_registers
+
+    masks = {}
+    for i in _layer_ids(enc):
+        lp = enc[f"layers_{i}"]
+        img = tokens[:, s:-1]
+        gp = lp["residual_gate"]["projection"]
+        logits_g = img.astype(jnp.float32) @ gp["kernel"].astype(jnp.float32) \
+            + gp["bias"].astype(jnp.float32)
+        sig = jax.nn.sigmoid(logits_g / gate_temp + gate_bias)
+        if budget_token in ("learnable", "learnable_interpolate"):
+            bg = lp["budget_token_gate"]
+            thr = jax.nn.sigmoid(
+                tokens[:, -1:].astype(jnp.float32) @ bg["kernel"].astype(
+                    jnp.float32) + bg["bias"].astype(jnp.float32))
+            mask = jax.nn.relu(sig - thr)
+        else:
+            cur_b = jnp.mean(tokens[:, -1:].astype(jnp.float32))
+            mask = jax.nn.relu(sig - (1.0 - cur_b))
+        masks[f"layer_{i}"] = mask
+        mask_c = mask.astype(compute_dtype)
+
+        ones = jnp.ones((b, 1, 1), compute_dtype)
+        fwd_mask = jnp.concatenate(
+            [jnp.ones((b, s, 1), compute_dtype), mask_c, ones], axis=1)
+        tokens = jnp.concatenate(
+            [tokens[:, :s], mask_c * img, tokens[:, -1:]], axis=1)
+
+        at = lp["self_attention"]
+        tokens = masked_attention_block_trainable(
+            tokens, fwd_mask,
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            num_heads, 1e-6, interpret,
+        )
+        # MLP half on XLA: tokens + MLP(mask * LN2(tokens)) — natively
+        # differentiable (plain_forward keeps the MLP output unmasked)
+        z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                        cast(lp["ln_2"]["bias"]), 1e-6) * fwd_mask
+        z = jax.nn.gelu(z @ cast(lp["mlp"]["fc1_kernel"])
+                        + cast(lp["mlp"]["fc1_bias"]))
+        tokens = tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
+                           + cast(lp["mlp"]["fc2_bias"]))
+
+    logits = _classify(params, tokens, c, cast, ln_eps=1e-5)
+    aux = {"masks": masks, "current_budget": budget_vec}
+    return logits, aux
+
+
+def sample_budgets(module, key, batch: int) -> jax.Array:
+    """Per-sample training budgets matching the module config
+    (reference residualvit.py:541-550)."""
+    bt = module.add_budget_token
+    if isinstance(bt, float):
+        return jnp.full((batch,), bt, jnp.float32)
+    if isinstance(bt, (list, tuple)):
+        return jax.random.choice(
+            key, jnp.asarray(bt, jnp.float32), shape=(batch,))
+    lo, hi = getattr(module, "budget_interval", (0.0, 1.0))
+    return jax.random.uniform(key, (batch,), jnp.float32) * (hi - lo) + lo

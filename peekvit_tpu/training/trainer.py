@@ -101,24 +101,40 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
 
-    def _fused_eligible(self) -> bool:
+    def _fused_kind(self):
+        """'vit' | 'residual' | None — which fused train path applies."""
         module = self.model.module
         if self.fused in (False, "never"):
-            return False
+            return None
         if self.fused == "auto" and jax.default_backend() != "tpu":
-            return False
+            return None
+        if (
+            getattr(module, "dropout", 0.0) != 0.0
+            or getattr(module, "attention_dropout", 0.0) != 0.0
+            or getattr(module, "noise_layer", None) is not None
+            or self.output_format is not None
+        ):
+            return None
+        name = type(module).__name__
         # RankViT trains exactly as a plain ViT (ranking is a train-free
         # eval-time mechanism, reference rankvit.py:85-88), so it shares the
         # fused path; its param tree is block-identical.
-        return (
-            type(module).__name__ in ("VisionTransformer",
-                                      "RankVisionTransformer")
-            and getattr(module, "dropout", 0.0) == 0.0
-            and getattr(module, "attention_dropout", 0.0) == 0.0
-            and getattr(module, "noise_layer", None) is None
-            and not (self.loss_compose and self.loss_compose.additional_losses)
-            and self.output_format is None
-        )
+        if name in ("VisionTransformer", "RankVisionTransformer"):
+            if self.loss_compose and self.loss_compose.additional_losses:
+                return None  # plain ViT emits no aux for regularizers
+            return "vit"
+        if name == "ResidualVisionTransformer":
+            layers = module.residual_layers or (
+                ["attention+mlp"] * module.num_layers)
+            if (set(layers) == {"attention+mlp"}
+                    and module.gate_type == "sigmoid"
+                    and not module.add_input
+                    and module.add_budget_token):
+                return "residual"
+        return None
+
+    def _fused_eligible(self) -> bool:
+        return self._fused_kind() is not None
 
     def _build_train_step(self):
         if self._fused_eligible():
@@ -177,15 +193,67 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _build_fused_train_step(self):
-        """Pallas fused-attention train step (training/fused.py) for plain
-        ViTs: same signature/metrics as the linen step."""
+        """Pallas fused-attention train step (training/fused.py): plain-ViT
+        and gated-ResidualViT variants, same signature/metrics as linen."""
         import functools
-
-        from peekvit_tpu.training.fused import vit_forward_trainable
 
         module = self.model.module
         criterion = self.main_criterion
         tx = self.tx
+        interpret = jax.default_backend() != "tpu"
+        kind = self._fused_kind()
+
+        if kind == "residual":
+            from peekvit_tpu.training.fused import (
+                residualvit_forward_trainable,
+                sample_budgets,
+            )
+
+            compose = self.loss_compose
+            base_key = self._base_key
+            fwd = functools.partial(
+                residualvit_forward_trainable,
+                patch_size=module.patch_size,
+                num_heads=module.num_heads,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                gate_temp=module.gate_temp,
+                gate_bias=module.gate_bias,
+                budget_token=module.add_budget_token,
+                interpret=interpret,
+            )
+
+            def step(params, opt_state, x, y, budget, noise_value, step_idx):
+                if budget is None:  # per-sample sampling (train_budget off)
+                    key = jax.random.fold_in(base_key, step_idx)
+                    bvec = sample_budgets(module, key, x.shape[0])
+                else:
+                    bvec = jnp.broadcast_to(
+                        jnp.asarray(budget, jnp.float32), (x.shape[0],))
+
+                def loss_fn(p):
+                    logits, aux = fwd(p, x, bvec)
+                    ce = criterion(logits, y)
+                    metrics = {"classification_loss": ce}
+                    total = ce
+                    if compose is not None and compose.additional_losses:
+                        d, reg = compose.compute(aux, budget=jnp.mean(bvec))
+                        metrics.update(d)
+                        total = total + reg
+                    metrics["total_loss"] = total
+                    return total, metrics
+
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state2,
+                        metrics)
+
+            return jax.jit(step, donate_argnums=(0, 1),
+                           static_argnums=())
+
+        from peekvit_tpu.training.fused import vit_forward_trainable
+
         fwd = functools.partial(
             vit_forward_trainable,
             patch_size=module.patch_size,
@@ -193,7 +261,7 @@ class Trainer:
             num_class_tokens=getattr(module, "num_class_tokens", 1),
             num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
         )
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):

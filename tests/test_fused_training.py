@@ -166,3 +166,99 @@ def test_remat_grads_match_no_remat():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def _residual_model(budget_token="learnable"):
+    m = build_model(
+        "residualvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token=budget_token),
+        seed=9,
+    )
+    k = jax.random.key(31)
+    m.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, m.params["head"]["kernel"].shape)
+    m.params["encoder"]["layers_0"]["residual_gate"]["projection"][
+        "kernel"] = jax.random.normal(k, (32, 1)) * 0.5
+    return m
+
+
+def test_residual_fused_forward_and_grads_match_linen():
+    from peekvit_tpu.training.fused import residualvit_forward_trainable
+    from peekvit_tpu.utils.losses import LossCompose
+
+    model = _residual_model()
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(3, 16, 16, 3)),
+                    jnp.float32)
+    y = jnp.asarray([0, 1, 2])
+    budget = 0.6
+    bvec = jnp.full((3,), budget, jnp.float32)
+    compose = LossCompose({"mse": {"_target_": "peekvit.utils.losses.MSELoss",
+                                   "budget": None, "strict": False}})
+    fn = model.apply_fn()
+
+    def linen_loss(p):
+        logits, aux = fn(p, x, jnp.float32(budget), None,
+                         {"noise": jax.random.key(0)}, train=False)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        return ce + compose.compute(aux, budget=budget, return_dict=False)
+
+    def fused_loss(p):
+        logits, aux = residualvit_forward_trainable(
+            p, x, bvec, patch_size=8, num_heads=2,
+            gate_temp=model.module.gate_temp,
+            gate_bias=model.module.gate_bias,
+            budget_token=model.module.add_budget_token,
+            compute_dtype=jnp.float32, interpret=True)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        return ce + compose.compute(aux, budget=budget, return_dict=False)
+
+    l_ref, g_ref = jax.value_and_grad(linen_loss)(model.params)
+    l_fused, g_fused = jax.value_and_grad(fused_loss)(model.params)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-4)
+    flat_fused = dict(
+        ("/".join(str(getattr(kk, "key", kk)) for kk in path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_fused)
+    )
+    for path, ref_leaf in jax.tree_util.tree_leaves_with_path(g_ref):
+        name = "/".join(str(getattr(kk, "key", kk)) for kk in path)
+        scale = max(float(np.abs(np.asarray(ref_leaf)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(flat_fused[name]) / scale,
+            np.asarray(ref_leaf) / scale,
+            rtol=2e-3, atol=2e-3, err_msg=f"residual grad mismatch at {name}",
+        )
+
+
+def test_trainer_fused_residualvit_with_regularizers():
+    """ResidualViT fused train path: budget sampling, gate masks in aux,
+    MSE regularizer applied, loss decreases."""
+    from peekvit_tpu.training.optim import Adam
+    from peekvit_tpu.training.trainer import Trainer
+    from peekvit_tpu.utils.losses import LossCompose
+
+    model = _residual_model()
+    trainer = Trainer(
+        model=model, optimizer=Adam(lr=5e-3), fused=True, clip_grad_norm=1.0,
+        loss_compose=LossCompose(
+            {"mse": {"_target_": "peekvit.utils.losses.MSELoss",
+                     "budget": None, "strict": False, "weight": 0.01}}),
+    )
+    assert trainer._fused_kind() == "residual"
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+    y = jnp.arange(10) % 5
+    x = jnp.asarray(base[np.asarray(y)] + 0.1 * rng.normal(size=(10, 16, 16, 3)),
+                    jnp.float32)
+    losses = []
+    for i in range(12):
+        metrics = trainer.train_step(x, y, step_idx=i)
+        losses.append(float(metrics["total_loss"]))
+        assert "mse" in metrics
+    assert losses[-1] < losses[0]
+    # eval still works through the model at a budget
+    model.set_budget(0.5)
+    logits, aux = model(x)
+    assert logits.shape == (10, 5) and aux["masks"]

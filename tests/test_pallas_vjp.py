@@ -102,3 +102,64 @@ def test_trainable_block_in_train_step():
         params, state, l = step(params, state)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def _reference_masked_block(x, m, lns, lnb, wqkv, bqkv, wo, bo, num_heads,
+                            eps=1e-6):
+    """ResidualViT attention sublayer: x + m*OutProj(MHSA(m*LN(x)))."""
+    d = x.shape[-1]
+    hd = d // num_heads
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, -1, keepdims=True)
+    ln = ((x - mu) * jax.lax.rsqrt(var + eps) * lns + lnb) * m
+    qkv = ln @ wqkv + bqkv
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    b, n, _ = x.shape
+    q = q.reshape(b, n, num_heads, hd)
+    k = k.reshape(b, n, num_heads, hd)
+    v = v.reshape(b, n, num_heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(float(hd))
+    w = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, d)
+    return x + m * (attn @ wo + bo)
+
+
+def test_masked_attention_block_grads_match_reference():
+    from peekvit_tpu.ops.pallas.fused_attention_vjp import (
+        masked_attention_block_trainable,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n, d, heads = 2, 13, 32, 4
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
+    x = f32(b, n, d)
+    m = jnp.asarray(rng.uniform(0.0, 1.0, size=(b, n, 1)), jnp.float32)
+    lns = jnp.ones((d,), jnp.float32) + 0.1 * f32(d)
+    lnb = 0.1 * f32(d)
+    wqkv, bqkv = 0.2 * f32(d, 3 * d), 0.05 * f32(3 * d)
+    wo, bo = 0.2 * f32(d, d), 0.05 * f32(d)
+    g_out = f32(b, n, d)
+
+    args = (x, m, lns, lnb, wqkv, bqkv, wo, bo)
+
+    def loss_ref(*a):
+        return jnp.sum(_reference_masked_block(*a, heads) * g_out)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            masked_attention_block_trainable(*a, heads, 1e-6, True) * g_out
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(masked_attention_block_trainable(*args, heads, 1e-6, True)),
+        np.asarray(_reference_masked_block(*args, heads)),
+        rtol=2e-5, atol=2e-5,
+    )
+    grads_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    grads_fused = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    names = ["dx", "dmask", "dlns", "dlnb", "dwqkv", "dbqkv", "dwo", "dbo"]
+    for name, a, b_ in zip(names, grads_fused, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=f"masked grad mismatch: {name}",
+        )
