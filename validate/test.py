@@ -113,6 +113,14 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         for nv in noises:
             nn_ = None if nv is None else jnp.float32(nv)
             total = correct = 0
+            # warm up compiles before the timed wall-clock loop so
+            # images/sec reflects steady state, not the first trace
+            warm = next(iter(prefetch_to_device(iter(val_loader), size=1)))
+            if engine is not None:
+                _ = engine(warm[0], budget=b) if model.accepts_budget \
+                    else engine(warm[0])
+            else:
+                eval_step(model.params, warm[0], warm[1], bb, nn_)
             t0 = time.time()
             for x, y in prefetch_to_device(iter(val_loader), size=2):
                 if flops_batch is None:
