@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from peekvit_tpu.ops.pallas.fused_attention import _safe_images_per_cell
+from peekvit_tpu.ops.pallas.fused_attention import (_safe_images_per_cell,
+                                                    _softmax_rows)
 
 
 def quantize_linear(w: jax.Array):
@@ -93,7 +94,7 @@ def _q_attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                 qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            w = jax.nn.softmax(logits, axis=-1)
+            w = _softmax_rows(logits)
             outs.append(jax.lax.dot_general(
                 w.astype(vj.dtype), vj,
                 dimension_numbers=(((1,), (0,)), ((), ())),
