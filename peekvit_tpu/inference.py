@@ -273,6 +273,54 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     return _classify(params, tokens, c, cast, ln_eps)
 
 
+def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
+                          num_heads: int, rankvit_layers: tuple,
+                          num_class_tokens: int = 1, ln_eps: float = 1e-5,
+                          compute_dtype=jnp.bfloat16,
+                          interpret: bool = False) -> jax.Array:
+    """int8 w8a8 + physical token dropping: the sparse serving fast path.
+
+    Composes rankvit_forward_fused's static top-k gather with the int8
+    quant blocks — every ranked layer shrinks the matmuls AND they run at
+    the MXU's 2x int8 rate."""
+    import math
+
+    from peekvit_tpu.ops.pallas.quant_blocks import (
+        quant_attention_block,
+        quant_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    c = num_class_tokens
+    tokens, d = _embed(qparams, images, patch_size, c, 0, cast)
+    enc = qparams["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    for i in _layer_ids(enc):
+        if i in rankvit_layers and budget < 1.0:
+            n_alive = tokens.shape[1] - c
+            n_keep = int(math.ceil(n_alive * budget))
+            img = tokens[:, c:]
+            norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
+            _, idx = jax.lax.top_k(norms, n_keep)
+            kept = jnp.take_along_axis(img, idx[..., None], axis=1)
+            tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
+        lp = enc[f"layers_{i}"]
+        tokens = quant_attention_block(
+            tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+            lp["wo_q"], lp["so"], cast(lp["bo"]),
+            num_heads, ln_eps, interpret,
+        )
+        tokens = quant_mlp_block(
+            tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            lp["w1_q"], lp["s1"], cast(lp["b1"]),
+            lp["w2_q"], lp["s2"], cast(lp["b2"]),
+            ln_eps, interpret,
+        )
+    return _classify(qparams, tokens, c, cast, ln_eps)
+
+
 def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               num_heads: int, num_class_tokens: int = 1,
                               num_registers: int = 0, gate_temp: float = 1.0,
@@ -397,10 +445,22 @@ class InferenceEngine:
             self.params = model.params
             return
         if quantized:
-            if self._rank_layers:
-                raise NotImplementedError("quantized RankViT engine: use the "
-                                          "bf16 physical-drop path")
             self.params = quantize_vit_params(model.params)
+            if self._rank_layers:
+                # int8 + physical token drop: one jitted fn per budget
+                self._rank_common = dict(
+                    patch_size=module.patch_size,
+                    num_heads=module.num_heads,
+                    rankvit_layers=self._rank_layers,
+                    num_class_tokens=getattr(module, "num_class_tokens", 1),
+                    ln_eps=getattr(module, "ln_eps", 1e-5),
+                    compute_dtype=compute_dtype,
+                    interpret=interpret,
+                )
+                self._rank_fns = {}
+                self._rank_fwd = rankvit_forward_quant
+                self._fn = None
+                return
             self._fn = jax.jit(functools.partial(
                 vit_forward_quant,
                 patch_size=module.patch_size,
@@ -439,8 +499,9 @@ class InferenceEngine:
         if self._rank_layers:
             b = 1.0 if budget is None else float(budget)
             if b not in self._rank_fns:
+                fwd = getattr(self, "_rank_fwd", rankvit_forward_fused)
                 self._rank_fns[b] = jax.jit(functools.partial(
-                    rankvit_forward_fused, budget=b, **self._rank_common
+                    fwd, budget=b, **self._rank_common
                 ))
             return self._rank_fns[b](self.params, images)
         return self._fn(self.params, images)

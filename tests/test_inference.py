@@ -142,3 +142,29 @@ def test_residualvit_engine_matches_linen(budget_token):
                                    rtol=1e-3, atol=1e-3)
         outs.append(np.asarray(got))
     assert not np.allclose(outs[0], outs[1])  # budget actually matters
+
+
+def test_quantized_rankvit_engine():
+    """int8 + physical drop composes: close to the fp masked path, same
+    argmax, one compiled fn per budget."""
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, rankvit_layers=[1, 2]),
+        seed=25,
+    )
+    k = jax.random.key(27)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(4, 32, 32, 3)), jnp.float32)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True)
+    for budget in (0.5, 1.0):
+        want, _ = model(x, budget=budget)
+        got = engine(x, budget=budget)
+        want, got = np.asarray(want), np.asarray(got)
+        rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
+        assert rel.mean() < 0.05, f"budget {budget}: mean rel err {rel.mean()}"
+        assert np.array_equal(got.argmax(-1), want.argmax(-1))
+    assert set(engine._rank_fns) == {0.5, 1.0}
