@@ -9,7 +9,8 @@ Behavioral contracts mirror the reference blocks
 masks instead of dynamic shapes, explicit PRNG keys instead of global seeds.
 """
 
-from peekvit_tpu.ops.attention import multi_head_attention, SelfAttention
+from peekvit_tpu.ops.attention import (multi_head_attention, SelfAttention,
+                                        set_attention_impl, get_attention_impl)
 from peekvit_tpu.ops.mlp import mlp_forward, MLP
 from peekvit_tpu.ops.patch_embed import patch_embed, PatchEmbed
 from peekvit_tpu.ops.gates import (
@@ -26,6 +27,8 @@ from peekvit_tpu.ops.ranking import token_rank_mask, gather_topk_tokens
 __all__ = [
     "multi_head_attention",
     "SelfAttention",
+    "set_attention_impl",
+    "get_attention_impl",
     "mlp_forward",
     "MLP",
     "patch_embed",
