@@ -321,6 +321,98 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     return _classify(qparams, tokens, c, cast, ln_eps)
 
 
+def quantize_residualvit_params(params):
+    """Residual variant of quantize_vit_params: gate projections,
+    budget-token params and LNs stay fp; the four big mats go int8."""
+    q = quantize_vit_params(params)
+    for name, lp in params["encoder"].items():
+        if not name.startswith("layers_"):
+            continue
+        q["encoder"][name]["residual_gate"] = lp["residual_gate"]
+        if "budget_token_gate" in lp:
+            q["encoder"][name]["budget_token_gate"] = lp["budget_token_gate"]
+    for key in ("learnable_budget_token_1", "learnable_budget_token_2"):
+        if key in params:
+            q[key] = params[key]
+    return q
+
+
+def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
+                              num_heads: int, num_class_tokens: int = 1,
+                              num_registers: int = 0, gate_temp: float = 1.0,
+                              gate_bias: float = 0.0,
+                              budget_token: Any = "learnable",
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = False) -> jax.Array:
+    """int8 (w8a8) ResidualViT eval forward — the gated model's quantized
+    serving path; gate math identical to residualvit_forward_fused."""
+    from peekvit_tpu.ops.pallas.quant_blocks import (
+        quant_masked_attention_block,
+        quant_masked_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    c = num_class_tokens
+    tokens, d = _embed(qparams, images, patch_size, c, num_registers, cast)
+    b = tokens.shape[0]
+    enc = qparams["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    budget_vec = jnp.broadcast_to(
+        jnp.asarray(budget, jnp.float32), (b,))[:, None, None]
+    if budget_token == "learnable":
+        btok = cast(qparams["learnable_budget_token_1"]) * budget_vec.astype(
+            compute_dtype)
+    elif budget_token:
+        btok = jnp.broadcast_to(budget_vec.astype(compute_dtype), (b, 1, d))
+    else:
+        raise NotImplementedError("residual quant engine needs a budget token")
+    btok = jnp.broadcast_to(btok, (b, 1, d))
+    tokens = jnp.concatenate([tokens, btok], axis=1)
+    s = c + num_registers
+
+    for i in _layer_ids(enc):
+        lp = enc[f"layers_{i}"]
+        img = tokens[:, s:-1]
+        gp = lp["residual_gate"]["projection"]
+        logits_g = img.astype(jnp.float32) @ gp["kernel"].astype(jnp.float32) \
+            + gp["bias"].astype(jnp.float32)
+        sig = jax.nn.sigmoid(logits_g / gate_temp + gate_bias)
+        if budget_token == "learnable":
+            bg = lp["budget_token_gate"]
+            thr = jax.nn.sigmoid(
+                tokens[:, -1:].astype(jnp.float32) @ bg["kernel"].astype(
+                    jnp.float32) + bg["bias"].astype(jnp.float32))
+            mask = jax.nn.relu(sig - thr)
+        else:
+            cur_b = jnp.mean(tokens[:, -1:].astype(jnp.float32))
+            mask = jax.nn.relu(sig - (1.0 - cur_b))
+        mask = mask.astype(compute_dtype)
+
+        ones = jnp.ones((b, 1, 1), compute_dtype)
+        fwd_mask = jnp.concatenate(
+            [jnp.ones((b, s, 1), compute_dtype), mask, ones], axis=1)
+        tokens = jnp.concatenate(
+            [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
+
+        tokens = quant_masked_attention_block(
+            tokens, fwd_mask,
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+            lp["wo_q"], lp["so"], cast(lp["bo"]),
+            num_heads, 1e-6, interpret,
+        )
+        tokens = quant_masked_mlp_block(
+            tokens, fwd_mask,
+            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            lp["w1_q"], lp["s1"], cast(lp["b1"]),
+            lp["w2_q"], lp["s2"], cast(lp["b2"]),
+            1e-6, interpret,
+        )
+
+    return _classify(qparams, tokens, c, cast, ln_eps=1e-5)
+
+
 def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               num_heads: int, num_class_tokens: int = 1,
                               num_registers: int = 0, gate_temp: float = 1.0,
@@ -430,8 +522,7 @@ class InferenceEngine:
                     "fused ResidualViT engine supports the shipped-config "
                     "mode: sigmoid gates, attention+mlp skip, budget token, "
                     "add_input=False (SURVEY.md §7.6)")
-            self._fn = jax.jit(functools.partial(
-                residualvit_forward_fused,
+            common = dict(
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
                 num_class_tokens=getattr(module, "num_class_tokens", 1),
@@ -441,8 +532,15 @@ class InferenceEngine:
                 budget_token=module.add_budget_token,
                 compute_dtype=compute_dtype,
                 interpret=interpret,
-            ))
-            self.params = model.params
+            )
+            if quantized:
+                self.params = quantize_residualvit_params(model.params)
+                self._fn = jax.jit(functools.partial(
+                    residualvit_forward_quant, **common))
+            else:
+                self.params = model.params
+                self._fn = jax.jit(functools.partial(
+                    residualvit_forward_fused, **common))
             return
         if quantized:
             self.params = quantize_vit_params(model.params)

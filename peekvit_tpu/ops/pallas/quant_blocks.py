@@ -173,3 +173,108 @@ def quant_mlp_block(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
         interpret=interpret,
     )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1_q, s1,
       b1.reshape(1, m), w2_q, s2, b2.reshape(1, d))
+
+
+def _q_masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                          bqkv_ref, wo_ref, so_ref, bo_ref, o_ref,
+                          *, num_heads: int, eps: float):
+    """int8 ResidualViT attention sublayer:
+    out = x + mask * OutProj(MHSA(mask * LN(x)))."""
+    mi, n, d = x_ref.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
+    mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+
+    ln = _ln_f32(x, lns_ref, lnb_ref, eps) * mask
+    lq, ls = _quant_rows(ln)
+    qkv = _qmatmul(lq, ls, wqkv_ref, sqkv_ref) + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv.astype(jnp.bfloat16)
+
+    attn_cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        outs = []
+        for j in range(mi):
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            logits = jax.lax.dot_general(
+                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            w = _softmax_rows(logits)
+            outs.append(jax.lax.dot_general(
+                w.astype(vj.dtype), vj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+        attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(attn_cols, axis=-1)
+
+    aq, as_ = _quant_rows(attn)
+    proj = _qmatmul(aq, as_, wo_ref, so_ref) + bo_ref[0].astype(jnp.float32)
+    out = proj * mask + xf
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+def _q_masked_mlp_kernel(x_ref, m_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
+                         b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps: float):
+    mi, n, d = x_ref.shape
+    x = x_ref[...].reshape(mi * n, d)
+    mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    ln = _ln_f32(x, lns_ref, lnb_ref, eps) * mask
+    lq, ls = _quant_rows(ln)
+    h = _qmatmul(lq, ls, w1_ref, s1_ref) + b1_ref[0].astype(jnp.float32)
+    h = jax.nn.gelu(h)
+    hq, hs = _quant_rows(h)
+    out = _qmatmul(hq, hs, w2_ref, s2_ref) + b2_ref[0].astype(jnp.float32) + xf
+    o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+def quant_masked_attention_block(x, mask, ln_scale, ln_bias, wqkv_q, sqkv,
+                                 b_qkv, wo_q, so, b_out, num_heads: int,
+                                 eps: float = 1e-6, interpret: bool = False,
+                                 images_per_cell: int = 2):
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    io, (w_lns, w_lnb, w_qkv, w_sqkv, w_bqkv, w_o, w_so, w_bo) = _specs(
+        mi, n, d,
+        [(1, d), (1, d), (d, 3 * d), (1, 3 * d), (1, 3 * d),
+         (d, d), (1, d), (1, d)],
+    )
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_q_masked_attn_kernel, num_heads=num_heads, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b // mi,),
+        in_specs=[io, iom, w_lns, w_lnb, w_qkv, w_sqkv, w_bqkv, w_o, w_so,
+                  w_bo],
+        out_specs=io,
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv_q, sqkv,
+      b_qkv.reshape(1, 3 * d), wo_q, so, b_out.reshape(1, d))
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12))
+def quant_masked_mlp_block(x, mask, ln_scale, ln_bias, w1_q, s1, b1, w2_q,
+                           s2, b2, eps: float = 1e-6,
+                           interpret: bool = False, images_per_cell: int = 2):
+    b, n, d = x.shape
+    m = w1_q.shape[-1]
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    io, (w_lns, w_lnb, w_1, w_s1, w_b1, w_2, w_s2, w_b2) = _specs(
+        mi, n, d,
+        [(1, d), (1, d), (d, m), (1, m), (1, m), (m, d), (1, d), (1, d)],
+    )
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_q_masked_mlp_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b // mi,),
+        in_specs=[io, iom, w_lns, w_lnb, w_1, w_s1, w_b1, w_2, w_s2, w_b2],
+        out_specs=io,
+        interpret=interpret,
+    )(x, mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1_q, s1,
+      b1.reshape(1, m), w2_q, s2, b2.reshape(1, d))

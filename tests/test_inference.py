@@ -168,3 +168,31 @@ def test_quantized_rankvit_engine():
         assert rel.mean() < 0.05, f"budget {budget}: mean rel err {rel.mean()}"
         assert np.array_equal(got.argmax(-1), want.argmax(-1))
     assert set(engine._rank_fns) == {0.5, 1.0}
+
+
+def test_quantized_residualvit_engine():
+    """int8 masked kernels: close to the fp residual engine, same argmax."""
+    model = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        seed=33,
+    )
+    k = jax.random.key(35)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape)
+    model.params["encoder"]["layers_0"]["residual_gate"]["projection"][
+        "kernel"] = jax.random.normal(k, (64, 1)) * 0.5
+    x = jnp.asarray(
+        np.random.default_rng(13).normal(size=(2, 32, 32, 3)), jnp.float32)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True)
+    for budget in (0.4, 0.9):
+        want, _ = model(x, budget=budget)
+        got = engine(x, budget=budget)
+        want, got = np.asarray(want), np.asarray(got)
+        rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
+        assert rel.mean() < 0.05, f"budget {budget}: mean rel err {rel.mean()}"
+        assert np.array_equal(got.argmax(-1), want.argmax(-1))
