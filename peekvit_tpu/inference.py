@@ -188,32 +188,55 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
                       interpret: bool = False) -> jax.Array:
-    """int8 (w8a8) eval forward from quantize_vit_params output."""
+    """int8 (w8a8) eval forward from quantize_vit_params output.
+
+    Applies the same VMEM-budget guards as the bf16 path (itemsize=1 for
+    int8 weights): over-budget layers run the XLA w8a8 fallback instead of
+    OOMing the Pallas kernel (ViT-L/H scale)."""
     from peekvit_tpu.ops.pallas.quant_blocks import (
         quant_attention_block,
+        quant_attention_block_xla,
         quant_mlp_block,
+        quant_mlp_block_xla,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     tokens, d = _embed(qparams, images, patch_size, num_class_tokens,
                        num_registers, cast)
     enc = qparams["encoder"]
+    mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
+    fuse_attn = _attn_fusable(d, itemsize=1)
+    fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
 
     for i in _layer_ids(enc):
         lp = enc[f"layers_{i}"]
-        tokens = quant_attention_block(
-            tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
-            lp["wo_q"], lp["so"], cast(lp["bo"]),
-            num_heads, ln_eps, interpret,
-        )
-        tokens = quant_mlp_block(
-            tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            lp["w1_q"], lp["s1"], cast(lp["b1"]),
-            lp["w2_q"], lp["s2"], cast(lp["b2"]),
-            ln_eps, interpret,
-        )
+        if fuse_attn:
+            tokens = quant_attention_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+                lp["wo_q"], lp["so"], cast(lp["bo"]),
+                num_heads, ln_eps, interpret,
+            )
+        else:
+            tokens = quant_attention_block_xla(
+                tokens, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["wqkv_q"], lp["sqkv"], lp["bqkv"],
+                lp["wo_q"], lp["so"], lp["bo"], num_heads, ln_eps,
+            )
+        if fuse_mlp:
+            tokens = quant_mlp_block(
+                tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                lp["w1_q"], lp["s1"], cast(lp["b1"]),
+                lp["w2_q"], lp["s2"], cast(lp["b2"]),
+                ln_eps, interpret,
+            )
+        else:
+            tokens = quant_mlp_block_xla(
+                tokens, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                lp["w1_q"], lp["s1"], lp["b1"],
+                lp["w2_q"], lp["s2"], lp["b2"], ln_eps,
+            )
     return _classify(qparams, tokens, num_class_tokens, cast, ln_eps)
 
 
@@ -287,13 +310,18 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
 
     from peekvit_tpu.ops.pallas.quant_blocks import (
         quant_attention_block,
+        quant_attention_block_xla,
         quant_mlp_block,
+        quant_mlp_block_xla,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     c = num_class_tokens
     tokens, d = _embed(qparams, images, patch_size, c, 0, cast)
     enc = qparams["encoder"]
+    mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
+    fuse_attn = _attn_fusable(d, itemsize=1)
+    fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
 
     for i in _layer_ids(enc):
@@ -306,18 +334,32 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
             kept = jnp.take_along_axis(img, idx[..., None], axis=1)
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
         lp = enc[f"layers_{i}"]
-        tokens = quant_attention_block(
-            tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
-            lp["wo_q"], lp["so"], cast(lp["bo"]),
-            num_heads, ln_eps, interpret,
-        )
-        tokens = quant_mlp_block(
-            tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            lp["w1_q"], lp["s1"], cast(lp["b1"]),
-            lp["w2_q"], lp["s2"], cast(lp["b2"]),
-            ln_eps, interpret,
-        )
+        if fuse_attn:
+            tokens = quant_attention_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+                lp["wo_q"], lp["so"], cast(lp["bo"]),
+                num_heads, ln_eps, interpret,
+            )
+        else:
+            tokens = quant_attention_block_xla(
+                tokens, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["wqkv_q"], lp["sqkv"], lp["bqkv"],
+                lp["wo_q"], lp["so"], lp["bo"], num_heads, ln_eps,
+            )
+        if fuse_mlp:
+            tokens = quant_mlp_block(
+                tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                lp["w1_q"], lp["s1"], cast(lp["b1"]),
+                lp["w2_q"], lp["s2"], cast(lp["b2"]),
+                ln_eps, interpret,
+            )
+        else:
+            tokens = quant_mlp_block_xla(
+                tokens, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                lp["w1_q"], lp["s1"], lp["b1"],
+                lp["w2_q"], lp["s2"], lp["b2"], ln_eps,
+            )
     return _classify(qparams, tokens, c, cast, ln_eps)
 
 
@@ -345,10 +387,13 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = False) -> jax.Array:
     """int8 (w8a8) ResidualViT eval forward — the gated model's quantized
-    serving path; gate math identical to residualvit_forward_fused."""
+    serving path; gate math identical to residualvit_forward_fused.
+    Over-VMEM-budget layers fall back to the XLA w8a8 masked path."""
     from peekvit_tpu.ops.pallas.quant_blocks import (
+        quant_attention_block_xla,
         quant_masked_attention_block,
         quant_masked_mlp_block,
+        quant_mlp_block_xla,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
@@ -356,15 +401,22 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
     tokens, d = _embed(qparams, images, patch_size, c, num_registers, cast)
     b = tokens.shape[0]
     enc = qparams["encoder"]
+    mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
+    fuse_attn = _attn_fusable(d, itemsize=1)
+    fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
 
     budget_vec = jnp.broadcast_to(
         jnp.asarray(budget, jnp.float32), (b,))[:, None, None]
+    bcast = budget_vec.astype(compute_dtype)
     if budget_token == "learnable":
-        btok = cast(qparams["learnable_budget_token_1"]) * budget_vec.astype(
-            compute_dtype)
+        btok = cast(qparams["learnable_budget_token_1"]) * bcast
+    elif budget_token == "learnable_interpolate":
+        # two lerped embeddings (reference residualvit.py:552-585)
+        btok = (cast(qparams["learnable_budget_token_1"]) * bcast
+                + cast(qparams["learnable_budget_token_2"]) * (1.0 - bcast))
     elif budget_token:
-        btok = jnp.broadcast_to(budget_vec.astype(compute_dtype), (b, 1, d))
+        btok = jnp.broadcast_to(bcast, (b, 1, d))
     else:
         raise NotImplementedError("residual quant engine needs a budget token")
     btok = jnp.broadcast_to(btok, (b, 1, d))
@@ -395,20 +447,35 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
         tokens = jnp.concatenate(
             [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
 
-        tokens = quant_masked_attention_block(
-            tokens, fwd_mask,
-            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
-            lp["wo_q"], lp["so"], cast(lp["bo"]),
-            num_heads, 1e-6, interpret,
-        )
-        tokens = quant_masked_mlp_block(
-            tokens, fwd_mask,
-            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            lp["w1_q"], lp["s1"], cast(lp["b1"]),
-            lp["w2_q"], lp["s2"], cast(lp["b2"]),
-            1e-6, interpret,
-        )
+        if fuse_attn:
+            tokens = quant_masked_attention_block(
+                tokens, fwd_mask,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+                lp["wo_q"], lp["so"], cast(lp["bo"]),
+                num_heads, 1e-6, interpret,
+            )
+        else:
+            tokens = quant_attention_block_xla(
+                tokens, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["wqkv_q"], lp["sqkv"], lp["bqkv"],
+                lp["wo_q"], lp["so"], lp["bo"], num_heads, 1e-6,
+                mask=fwd_mask,
+            )
+        if fuse_mlp:
+            tokens = quant_masked_mlp_block(
+                tokens, fwd_mask,
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                lp["w1_q"], lp["s1"], cast(lp["b1"]),
+                lp["w2_q"], lp["s2"], cast(lp["b2"]),
+                1e-6, interpret,
+            )
+        else:
+            tokens = quant_mlp_block_xla(
+                tokens, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                lp["w1_q"], lp["s1"], lp["b1"],
+                lp["w2_q"], lp["s2"], lp["b2"], 1e-6, mask=fwd_mask,
+            )
 
     return _classify(qparams, tokens, c, cast, ln_eps=1e-5)
 
@@ -445,11 +512,15 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
 
     budget_vec = jnp.broadcast_to(
         jnp.asarray(budget, jnp.float32), (b,))[:, None, None]
+    bcast = budget_vec.astype(compute_dtype)
     if budget_token == "learnable":
-        btok = cast(params["learnable_budget_token_1"]) * budget_vec.astype(
-            compute_dtype)
+        btok = cast(params["learnable_budget_token_1"]) * bcast
+    elif budget_token == "learnable_interpolate":
+        # two lerped embeddings (reference residualvit.py:552-585)
+        btok = (cast(params["learnable_budget_token_1"]) * bcast
+                + cast(params["learnable_budget_token_2"]) * (1.0 - bcast))
     elif budget_token:
-        btok = jnp.broadcast_to(budget_vec.astype(compute_dtype), (b, 1, d))
+        btok = jnp.broadcast_to(bcast, (b, 1, d))
     else:
         raise NotImplementedError("fused residualvit engine needs a budget token")
     btok = jnp.broadcast_to(btok, (b, 1, d))

@@ -1,7 +1,8 @@
 """Native (C++) host-side image pipeline: build-on-first-use + ctypes ABI.
 
 ``load_library()`` compiles image_pipeline.cpp with g++ (cached as a .so
-next to the source, rebuilt when the source is newer) and binds the C ABI.
+next to the source, keyed on a hash of the source so a stale binary can
+never shadow an edit — git does not preserve mtimes) and binds the C ABI.
 Falls back gracefully (``available() -> False``) when no toolchain or
 libjpeg/libpng are present — every caller keeps a PIL path.
 """
@@ -9,6 +10,7 @@ libjpeg/libpng are present — every caller keeps a PIL path.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -17,10 +19,19 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "image_pipeline.cpp")
-_SO = os.path.join(_DIR, "image_pipeline.so")
 
 _lib = None
 _build_error: Optional[str] = None
+
+
+def _so_path() -> str:
+    """Cache path keyed on the source hash (never stale after a clone)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"image_pipeline-{digest}.so")
+
+
+_SO = _so_path()
 
 
 def _build() -> Optional[str]:
@@ -43,7 +54,7 @@ def load_library():
         return _lib
     if _build_error is not None:
         return None
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not os.path.exists(_SO):
         _build_error = _build()
         if _build_error is not None:
             return None

@@ -222,9 +222,16 @@ void resize_bilinear(const Image& src, int out_h, int out_w, float* dst) {
 // resize to (resize, resize) -> center crop (size) -> /255 -> (x-mean)/std
 bool process_one(const uint8_t* bytes, size_t len, int resize, int size,
                  const float* mean, const float* std, float* out) {
+  // crop offset below is (resize - size) / 2: reject configs where the
+  // crop would read outside the resized image instead of going OOB.
+  if (size <= 0 || resize < size) return false;
   Image img;
   if (!decode_image(bytes, len, &img) || !img.data) return false;
   float* resized = static_cast<float*>(malloc((size_t)resize * resize * 3 * sizeof(float)));
+  if (!resized) {
+    free(img.data);
+    return false;
+  }
   resize_bilinear(img, resize, resize, resized);
   free(img.data);
   const int top = (resize - size) / 2;
@@ -249,8 +256,16 @@ bool process_file(const char* path, int resize, int size, const float* mean,
   if (!f) return false;
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
+  if (len <= 0) {
+    fclose(f);
+    return false;
+  }
   fseek(f, 0, SEEK_SET);
   uint8_t* buf = static_cast<uint8_t*>(malloc(len));
+  if (!buf) {
+    fclose(f);
+    return false;
+  }
   size_t got = fread(buf, 1, len, f);
   fclose(f);
   bool ok = (got == (size_t)len) &&

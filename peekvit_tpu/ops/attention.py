@@ -100,11 +100,12 @@ def multi_head_attention(
     dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full MHSA: packed qkv proj -> attention -> out proj. x: (B, N, D)."""
-    if (
-        _ATTENTION_IMPL == "pallas"
-        and key_mask is None
-        and (dropout_rate == 0.0 or deterministic)
-    ):
+    # The fused inference kernel has no differentiation rule and uses the
+    # inference-only clamped softmax, so it is gated on `deterministic`
+    # (not merely dropout_rate == 0.0): training forwards always take the
+    # differentiable XLA path (or the custom-VJP kernel via the fused
+    # training blocks in ops/pallas/fused_attention_vjp.py).
+    if _ATTENTION_IMPL == "pallas" and key_mask is None and deterministic:
         from peekvit_tpu.ops.pallas.fused_attention import fused_mhsa
 
         qkv = (

@@ -111,7 +111,9 @@ def test_quantized_engine_close_to_fp():
     assert np.array_equal(got.argmax(-1), want.argmax(-1))
 
 
-@pytest.mark.parametrize("budget_token", ["learnable", 0.5])
+@pytest.mark.parametrize(
+    "budget_token", ["learnable", "learnable_interpolate", 0.5]
+)
 def test_residualvit_engine_matches_linen(budget_token):
     """Fused masked-kernel ResidualViT engine == linen forward at budgets."""
     model = build_model(
@@ -187,6 +189,67 @@ def test_quantized_residualvit_engine():
         "kernel"] = jax.random.normal(k, (64, 1)) * 0.5
     x = jnp.asarray(
         np.random.default_rng(13).normal(size=(2, 32, 32, 3)), jnp.float32)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True)
+    for budget in (0.4, 0.9):
+        want, _ = model(x, budget=budget)
+        got = engine(x, budget=budget)
+        want, got = np.asarray(want), np.asarray(got)
+        rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
+        assert rel.mean() < 0.05, f"budget {budget}: mean rel err {rel.mean()}"
+        assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_quant_engine_xla_fallback_over_vmem_budget(monkeypatch):
+    """When quantized weights exceed the kernel VMEM budget the engines must
+    take the XLA w8a8 fallback (not OOM the Pallas kernel) and stay close
+    to the linen forward (ADVICE r1: guards were bf16-path-only)."""
+    import peekvit_tpu.inference as inf
+
+    model = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7),
+        seed=41,
+    )
+    k = jax.random.key(42)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(17).normal(size=(2, 32, 32, 3)), jnp.float32)
+    # reference: the Pallas quant engine (same int8 math, kernel path)
+    want = np.asarray(InferenceEngine(
+        model, compute_dtype=jnp.float32, interpret=True, quantized=True)(x))
+    monkeypatch.setattr(inf, "_KERNEL_WEIGHT_BYTES_LIMIT", 0)
+    assert not inf._attn_fusable(64, itemsize=1)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True)
+    got = np.asarray(engine(x))
+    rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
+    assert rel.mean() < 0.01, f"mean rel err vs pallas quant {rel.mean()}"
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_quant_residual_engine_xla_fallback(monkeypatch):
+    """Masked residual quant path: XLA fallback matches linen at a budget."""
+    import peekvit_tpu.inference as inf
+
+    model = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        seed=43,
+    )
+    k = jax.random.key(44)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape)
+    model.params["encoder"]["layers_0"]["residual_gate"]["projection"][
+        "kernel"] = jax.random.normal(k, (64, 1)) * 0.5
+    x = jnp.asarray(
+        np.random.default_rng(19).normal(size=(2, 32, 32, 3)), jnp.float32)
+    monkeypatch.setattr(inf, "_KERNEL_WEIGHT_BYTES_LIMIT", 0)
     engine = InferenceEngine(model, compute_dtype=jnp.float32,
                              interpret=True, quantized=True)
     for budget in (0.4, 0.9):

@@ -69,6 +69,43 @@ def test_impl_switch_full_mhsa():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_impl_training_grads():
+    """With impl='pallas', non-deterministic (training) forwards must take
+    the differentiable XLA path: jax.grad works and matches impl='xla'.
+    Regression for the fused-kernel-has-no-VJP guard (ADVICE r1)."""
+    rng = np.random.default_rng(11)
+    d = 32
+    x = jnp.asarray(rng.normal(size=(2, 9, d)), jnp.float32)
+    params = {
+        "in_proj": {
+            "kernel": jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32),
+            "bias": jnp.zeros((3 * d,), jnp.float32),
+        },
+        "out_proj": {
+            "kernel": jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32),
+        },
+    }
+
+    def loss(p):
+        # dropout_rate=0.0 but deterministic=False — a training forward
+        return jnp.sum(
+            multi_head_attention(x, p, 4, deterministic=False) ** 2
+        )
+
+    want = jax.grad(loss)(params)
+    set_attention_impl("pallas")
+    try:
+        got = jax.grad(loss)(params)
+    finally:
+        set_attention_impl("xla")
+    for path in ("in_proj", "out_proj"):
+        np.testing.assert_allclose(
+            np.asarray(got[path]["kernel"]), np.asarray(want[path]["kernel"]),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
 def test_pallas_path_respects_mask_fallback():
     """key_mask forces the jnp path even when impl='pallas'."""
     rng = np.random.default_rng(3)
