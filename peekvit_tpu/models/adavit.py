@@ -17,6 +17,11 @@ hardcoded ``.cuda()`` (SURVEY.md §7.4). Here ACT is a single ``lax.scan``
 over a stacked block (``nn.scan``): state is the scan carry, block params
 get a leading layer axis, and ``aux`` carries ``rho_token`` +
 ``halting_score_layer`` for the two A-ViT losses (utils/losses.py:144-184).
+NoiseBlock insertion at an ARBITRARY encoder index (reference
+utils/utils.py:162-191) happens inside the scan body: the noised input is
+computed every layer (identity at value 0) and selected with
+``layer_idx == noise_layer`` — static shapes, no recompilation across the
+noise sweep.
 
 Divergence (documented): per-layer mean halting score excludes the class
 token, i.e. ``mean(h[:, 1:])`` — the reference's ``mean(h[1:])``
@@ -79,10 +84,22 @@ class _ACTStep(nn.Module):
     eps: float
     num_layers: int
     train: bool
+    noise_layer: Optional[int] = None
+    noise_type: str = "gaussian"
 
     @nn.compact
     def __call__(self, carry, layer_idx):
-        out, c, R, rho, counter, active, output = carry
+        out, c, R, rho, counter, active, output, noise_value = carry
+        if self.noise_layer is not None:
+            # NoiseBlock before an ARBITRARY encoder index under scan
+            # (reference utils/utils.py:162-191): compute the noised input
+            # unconditionally (both ops are identity at value 0) and select
+            # it only on the matching layer — compiler-friendly lax.select,
+            # no data-dependent control flow.
+            noisy = apply_noise(
+                out, self.noise_type, noise_value, self.make_rng("noise")
+            )
+            out = jnp.where(layer_idx == self.noise_layer, noisy, out)
         block = AViTBlock(
             self.num_heads,
             self.hidden_dim,
@@ -111,7 +128,9 @@ class _ACTStep(nn.Module):
         counter = counter + not_reached
         active = (c < 1.0 - self.eps).astype(out.dtype)
         output = output + delta1 + delta2
-        return (out_next, c, R, rho, counter, active, output), mean_h
+        return (
+            out_next, c, R, rho, counter, active, output, noise_value
+        ), mean_h
 
 
 class AViTEncoder(nn.Module):
@@ -145,23 +164,13 @@ class AViTEncoder(nn.Module):
         )
         x = x + pos
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        if self.noise_layer is not None:
-            # noise applies before the chosen layer; under scan we support
-            # layer 0 (pre-stack) injection, the common sweep configuration
-            if self.noise_layer == 0:
-                x = apply_noise(
-                    x,
-                    self.noise_type,
-                    0.0 if noise_value is None else noise_value,
-                    self.make_rng("noise"),
-                )
 
         bs, n = x.shape[0], self.seq_length
 
         ScannedBody = nn.scan(
             _ACTStep,
             variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
+            split_rngs={"params": True, "dropout": True, "noise": True},
             in_axes=0,
             out_axes=0,
             length=self.num_layers,
@@ -174,8 +183,11 @@ class AViTEncoder(nn.Module):
             jnp.ones((bs, n), x.dtype),
             jnp.ones((bs, n), x.dtype),
             jnp.zeros_like(x),
+            jnp.asarray(
+                0.0 if noise_value is None else noise_value, jnp.float32
+            ),
         )
-        (out, c, R, rho, counter, active, output), mean_h = ScannedBody(
+        (out, c, R, rho, counter, active, output, _), mean_h = ScannedBody(
             self.num_heads,
             self.hidden_dim,
             self.mlp_dim,
@@ -186,6 +198,8 @@ class AViTEncoder(nn.Module):
             self.eps,
             self.num_layers,
             train,
+            self.noise_layer,
+            self.noise_type,
             name="blocks",
         )(carry0, jnp.arange(self.num_layers))
         aux = {

@@ -326,22 +326,28 @@ class Trainer:
             loader.set_epoch(epoch)
 
         steps_per_epoch = len(loader) if hasattr(loader, "__len__") else 0
-        sums: Dict[str, float] = {}
         count = 0
-        last_metrics = None
+        running = None  # device-side metric sums: no per-batch host fetch
         for i, (x, y) in enumerate(self._device_batches(loader)):
             step_idx = epoch * max(steps_per_epoch, 1) + i
             metrics = self.train_step(x, y, budget=budget,
                                       noise_value=noise_value, step_idx=step_idx)
-            last_metrics = metrics
             if logger is not None:
                 logger.log(
                     {f"{log_prefix}{k}": v for k, v in _to_float(metrics).items()}
                 )
+            if running is None:
+                running = {k: jnp.asarray(v, jnp.float32)
+                           for k, v in metrics.items()}
+            else:
+                running = {k: running[k] + jnp.asarray(metrics[k], jnp.float32)
+                           for k in running}
             count += 1
-        if last_metrics is not None:
-            for k, v in _to_float(last_metrics).items():
-                sums[k] = v
+        # epoch summary = MEAN over batches (not the last batch's sample)
+        sums: Dict[str, float] = (
+            {} if running is None
+            else _to_float({k: v / count for k, v in running.items()})
+        )
         lr_now = get_learning_rate(self.opt_state)
         if logger is not None and lr_now is not None:
             logger.log({f"{log_prefix}lr": lr_now})

@@ -118,6 +118,27 @@ def test_test_entry_budget_sweep(tmp_path):
     assert os.path.isfile(os.path.join(images, "flops_vs_acc.png"))
 
 
+def test_adavit_noise_sweep_entry(tmp_path):
+    """Budget x noise sweep runs on an A-ViT config with the NoiseBlock at
+    an arbitrary layer (noise.layer=2) — VERDICT r1 item 6."""
+    res = _train_once(tmp_path, ["model=avit_t_16_224",
+                                 "model.gate_center=5.0"])
+    from test import main as test_main
+
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "noise=gaussian", "noise.layer=2", "test.noises=[0.0,8.0]",
+    ])
+    summary = results[res["experiment_dir"]]
+    rb = summary["results_per_budget"]
+    # A-ViT takes no budget -> single None budget; both noise points swept
+    assert set(rb) == {None}
+    assert set(rb[None]) == {0.0, 8.0}
+    assert all(0.0 <= acc <= 1.0 for acc in rb[None].values())
+
+
 def test_mask_and_cls_plot_entries(tmp_path):
     res = _train_once(tmp_path, [
         "model=residualvit", "model.patch_size=8", "model.num_layers=2",

@@ -82,6 +82,38 @@ def test_adavit_model_forward_and_aux():
     assert aux["counter_token"].max() <= 3 + 1
 
 
+def test_adavit_noise_at_arbitrary_layer():
+    """NoiseBlock insertion works at any encoder index under the scanned
+    ACT stack (reference utils/utils.py:162-191), not just layer 0."""
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 32, 32, 3),
+                                                 dtype=np.float32))
+
+    def _build(**noise):
+        m = build_model("adavit", dict(BASE, gate_center=5.0), seed=11,
+                        **noise)
+        # head is zero-init; randomize (same key) so logits are informative
+        m.params["head"]["kernel"] = 0.05 * jax.random.normal(
+            jax.random.key(5), m.params["head"]["kernel"].shape)
+        return m
+
+    want, _ = _build()(x)
+    want = np.asarray(want)
+
+    outs = {}
+    for layer in (0, 2):
+        noisy = _build(noise_args={"layer": layer, "noise_type": "gaussian"})
+        ident, _ = noisy(x, noise_value=0.0)  # 0 dB = no-noise sentinel
+        np.testing.assert_allclose(np.asarray(ident), want,
+                                   rtol=1e-5, atol=1e-5)
+        got, _ = noisy(x, noise_value=3.0)
+        got = np.asarray(got)
+        assert not np.allclose(got, want, atol=1e-6)
+        outs[layer] = got
+    # the layer index matters: injecting at 0 vs 2 gives different logits
+    assert not np.allclose(outs[0], outs[2], atol=1e-6)
+
+
 # ----------------------------------------------------------------- moevit
 
 
