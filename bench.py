@@ -68,7 +68,7 @@ def device_seconds_per_iter(step_sum_fn, args, reps: int = 20) -> float:
     return (tn - t1) / reps
 
 
-def main(batch_size: int = 256, reps: int = 20):
+def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
     import functools
 
     import jax
@@ -95,10 +95,12 @@ def main(batch_size: int = 256, reps: int = 20):
     def step_sum(params, x, carry):
         return jnp.sum(fwd(params, x + carry * 0))
 
-    x = jax.random.normal(jax.random.key(0), (batch_size, 224, 224, 3),
-                          jnp.bfloat16)
-    sec_per_iter = device_seconds_per_iter(step_sum, (params, x), reps)
-    images_per_sec = batch_size / sec_per_iter
+    def measure(bs, reps_):
+        x = jax.random.normal(jax.random.key(0), (bs, 224, 224, 3),
+                              jnp.bfloat16)
+        return bs / device_seconds_per_iter(step_sum, (params, x), reps_)
+
+    images_per_sec = measure(batch_size, reps)
 
     flops_per_image = 2.0 * analytic_macs(model.module)
     roofline = peak_flops(dev) / flops_per_image
@@ -108,6 +110,13 @@ def main(batch_size: int = 256, reps: int = 20):
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / roofline, 4),
     }
+    if also_bs2048 and on_tpu:
+        # the reference eval recipe names test_batch_size=2048; report it
+        # alongside the headline (measured: batch size does not move
+        # per-image throughput — the per-layer kernels dominate)
+        ips2048 = measure(2048, max(4, reps // 4))
+        result["value_bs2048"] = round(ips2048, 1)
+        result["vs_baseline_bs2048"] = round(ips2048 / roofline, 4)
     print(json.dumps(result))
     return result
 

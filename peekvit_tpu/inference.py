@@ -184,10 +184,62 @@ def quantize_vit_params(params):
     return q
 
 
+def collect_activation_caps(params, images, *, patch_size: int,
+                            num_heads: int, num_class_tokens: int = 1,
+                            num_registers: int = 0, ln_eps: float = 1e-5,
+                            percentile: float = 99.9):
+    """Percentile activation calibration for the w8a8 engines.
+
+    Runs a pure-jnp fp32 forward mirroring the quant engine's structure and
+    records the ``percentile`` of |activation| at the four quantized sites
+    per layer (attention LN output, attention output, MLP LN output, gelu
+    output). Returns a static nested tuple (hashable, baked into the
+    kernels as constant scales): caps[i] = ((attn_ln, attn_out),
+    (mlp_ln, mlp_h)). Standard post-training-quantization recipe: clipping
+    outliers at a high percentile beats letting them inflate the dynamic
+    per-token scale (PAPERS.md ViT quantization survey).
+    """
+    from peekvit_tpu.ops.attention import attention_core
+
+    cast = lambda t: t.astype(jnp.float32)  # noqa: E731
+    tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    def pct(x):
+        return float(jnp.percentile(jnp.abs(x.astype(jnp.float32)),
+                                    percentile))
+
+    caps = []
+    for i in _layer_ids(enc):
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        ln1 = _layer_norm(tokens, cast(lp["ln_1"]["scale"]),
+                          cast(lp["ln_1"]["bias"]), ln_eps)
+        c_a1 = pct(ln1)
+        qkv = ln1 @ cast(at["in_proj_kernel"]) + cast(at["in_proj_bias"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = attention_core(q, k, v, num_heads)
+        c_a2 = pct(attn)
+        tokens = tokens + attn @ cast(at["out_proj_kernel"]) + cast(
+            at["out_proj_bias"])
+        ln2 = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                          cast(lp["ln_2"]["bias"]), ln_eps)
+        c_m1 = pct(ln2)
+        h = jax.nn.gelu(ln2 @ cast(lp["mlp"]["fc1_kernel"])
+                        + cast(lp["mlp"]["fc1_bias"]))
+        c_m2 = pct(h)
+        tokens = tokens + h @ cast(lp["mlp"]["fc2_kernel"]) + cast(
+            lp["mlp"]["fc2_bias"])
+        caps.append(((c_a1, c_a2), (c_m1, c_m2)))
+    return tuple(caps)
+
+
 def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False, caps=None) -> jax.Array:
     """int8 (w8a8) eval forward from quantize_vit_params output.
 
     Applies the same VMEM-budget guards as the bf16 path (itemsize=1 for
@@ -209,14 +261,16 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
     fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
 
-    for i in _layer_ids(enc):
+    for li, i in enumerate(_layer_ids(enc)):
         lp = enc[f"layers_{i}"]
+        acaps = caps[li][0] if caps else None
+        mcaps = caps[li][1] if caps else None
         if fuse_attn:
             tokens = quant_attention_block(
                 tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
                 lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
                 lp["wo_q"], lp["so"], cast(lp["bo"]),
-                num_heads, ln_eps, interpret,
+                num_heads, ln_eps, interpret, 2, acaps,
             )
         else:
             tokens = quant_attention_block_xla(
@@ -229,7 +283,7 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                 tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
                 lp["w1_q"], lp["s1"], cast(lp["b1"]),
                 lp["w2_q"], lp["s2"], cast(lp["b2"]),
-                ln_eps, interpret,
+                ln_eps, interpret, 2, mcaps,
             )
         else:
             tokens = quant_mlp_block_xla(
@@ -286,6 +340,91 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
             cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
             num_heads, ln_eps, interpret,
         )
+        tokens = fused_mlp_block(
+            tokens,
+            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+            cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+            ln_eps, interpret,
+        )
+    return _classify(params, tokens, c, cast, ln_eps)
+
+
+def rankvit_forward_padded(params, images, budget, *, patch_size: int,
+                           num_heads: int, rankvit_layers: tuple,
+                           max_budget: float, num_class_tokens: int = 1,
+                           ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jax.Array:
+    """Single-compile physical token drop (the SURVEY §8 north-star design).
+
+    ``budget`` is a TRACED scalar — the whole sweep over budgets in
+    (0, max_budget] shares one compilation. Each ranked layer gathers the
+    top ``keep_max = ceil(n_alive * max_budget)`` tokens by norm (static
+    shape), and a scalar ``num_keep = ceil(n_valid * budget)`` marks the
+    tail invalid via an iota < num_keep mask. Invalid tokens are zeroed,
+    excluded as attention keys (keymasked_attention_block — the additive
+    -inf semantics of the linen RankViT, rankvit.py:39-81), and ranked
+    with -inf norms so they can never re-enter. Logits match the linen
+    masked path: excluded keys cannot influence the class token.
+    """
+    import math
+
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        fused_attention_block,
+        fused_mlp_block,
+        keymasked_attention_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    c = num_class_tokens
+    tokens, d = _embed(params, images, patch_size, c, 0, cast)
+    b = tokens.shape[0]
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    n_img = tokens.shape[1] - c          # static buffer length (img tokens)
+    n_valid = jnp.float32(n_img)         # traced count of VALID img tokens
+    valid = None                         # (B, n_img) in {0,1}; None = all
+
+    for i in _layer_ids(enc):
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        if i in rankvit_layers:
+            keep_max = min(int(math.ceil(n_img * max_budget)), n_img)
+            img = tokens[:, c:]
+            norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
+            if valid is not None:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+                norms = jnp.where(valid > 0, norms, neg)
+            _, idx = jax.lax.top_k(norms, keep_max)  # static k
+            kept = jnp.take_along_axis(img, idx[..., None], axis=1)
+            # same ceil(alive * budget) cascade as the linen _rank_update
+            num_keep = jnp.ceil(n_valid * jnp.asarray(budget, jnp.float32))
+            ranks = jax.lax.broadcasted_iota(jnp.float32, (b, keep_max), 1)
+            valid = (ranks < num_keep).astype(jnp.float32)
+            kept = kept * valid[..., None].astype(kept.dtype)
+            tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
+            n_img = keep_max
+            n_valid = num_keep
+        if valid is None:
+            tokens = fused_attention_block(
+                tokens,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                num_heads, ln_eps, interpret,
+            )
+        else:
+            km = jnp.concatenate(
+                [jnp.ones((b, c), jnp.float32), valid], axis=1
+            ).reshape(b, 1, c + n_img).astype(compute_dtype)
+            tokens = keymasked_attention_block(
+                tokens, km,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                num_heads, ln_eps, interpret,
+            )
         tokens = fused_mlp_block(
             tokens,
             cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
@@ -385,7 +524,8 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                               gate_bias: float = 0.0,
                               budget_token: Any = "learnable",
                               compute_dtype=jnp.bfloat16,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False,
+                              pmean_axis: Optional[str] = None) -> jax.Array:
     """int8 (w8a8) ResidualViT eval forward — the gated model's quantized
     serving path; gate math identical to residualvit_forward_fused.
     Over-VMEM-budget layers fall back to the XLA w8a8 masked path."""
@@ -438,6 +578,8 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
             mask = jax.nn.relu(sig - thr)
         else:
             cur_b = jnp.mean(tokens[:, -1:].astype(jnp.float32))
+            if pmean_axis is not None:  # WHOLE-batch mean spans the mesh
+                cur_b = jax.lax.pmean(cur_b, pmean_axis)
             mask = jax.nn.relu(sig - (1.0 - cur_b))
         mask = mask.astype(compute_dtype)
 
@@ -486,7 +628,8 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               gate_bias: float = 0.0,
                               budget_token: Any = "learnable",
                               compute_dtype=jnp.bfloat16,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False,
+                              pmean_axis: Optional[str] = None) -> jax.Array:
     """Fused ResidualViT eval forward (sigmoid gates, 'attention+mlp' skip —
     the mode every shipped config uses, SURVEY.md §7.6).
 
@@ -545,6 +688,8 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             # scalar mean over the WHOLE batch's (evolving) budget token —
             # reference quirk (residualvit.py:208), kept for parity
             cur_b = jnp.mean(tokens[:, -1:].astype(jnp.float32))
+            if pmean_axis is not None:  # WHOLE batch = across the dp mesh
+                cur_b = jax.lax.pmean(cur_b, pmean_axis)
             mask = jax.nn.relu(sig - (1.0 - cur_b))
         mask = mask.astype(compute_dtype)  # (B, N_img, 1)
 
@@ -574,13 +719,48 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
 
 
 class InferenceEngine:
-    """Jitted fused eval forward bound to a built Model (plain ViT family)."""
+    """Jitted fused eval forward bound to a built Model (plain ViT family).
+
+    RankViT compilation modes:
+    - default: EXACT physical drop — shapes shrink to ceil(n*budget) per
+      ranked layer, one compiled fn per distinct budget value (SURVEY §8
+      allows per-budget compiles for eval sweeps; fastest per budget).
+    - ``max_budget=<float>``: SINGLE-COMPILE padded drop — static keep
+      lengths sized for ``max_budget``, budget a traced operand; any budget
+      in (0, max_budget] reuses one compilation (the §8 north-star design;
+      the right mode for serving with a varying budget knob).
+    """
+
+    def _jit(self, raw, n_scalar_args: int = 0):
+        """jit the raw forward; with ``mesh``, shard-map it data-parallel.
+
+        Pallas calls are not GSPMD-partitionable, so multi-chip serving maps
+        the kernel over the mesh's data axis explicitly (shard_map): params
+        replicated, batch split, any trailing scalar operands replicated.
+        Batch size must divide the data-axis size.
+        """
+        if self._mesh is None:
+            return jax.jit(raw)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from peekvit_tpu.parallel.mesh import DATA_AXIS
+
+        in_specs = (P(), P(DATA_AXIS)) + (P(),) * n_scalar_args
+        return jax.jit(shard_map(
+            raw, mesh=self._mesh, in_specs=in_specs,
+            out_specs=P(DATA_AXIS), check_rep=False,
+        ))
 
     def __init__(self, model, compute_dtype=jnp.bfloat16,
-                 interpret: Optional[bool] = None, quantized: bool = False):
+                 interpret: Optional[bool] = None, quantized: bool = False,
+                 max_budget: Optional[float] = None,
+                 calib_images=None, calib_percentile: float = 99.9,
+                 mesh=None):
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        self._mesh = mesh
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
         self._residual = type(module).__name__ == "ResidualVisionTransformer"
         if self._residual:
@@ -604,16 +784,36 @@ class InferenceEngine:
                 compute_dtype=compute_dtype,
                 interpret=interpret,
             )
+            if mesh is not None and module.add_budget_token not in (
+                    "learnable",):
+                # the reference's WHOLE-batch budget-token mean must span
+                # the data axis, not each shard
+                from peekvit_tpu.parallel.mesh import DATA_AXIS
+
+                common["pmean_axis"] = DATA_AXIS
             if quantized:
                 self.params = quantize_residualvit_params(model.params)
-                self._fn = jax.jit(functools.partial(
-                    residualvit_forward_quant, **common))
+                self._fn = self._jit(functools.partial(
+                    residualvit_forward_quant, **common), n_scalar_args=1)
             else:
                 self.params = model.params
-                self._fn = jax.jit(functools.partial(
-                    residualvit_forward_fused, **common))
+                self._fn = self._jit(functools.partial(
+                    residualvit_forward_fused, **common), n_scalar_args=1)
             return
         if quantized:
+            # optional static percentile activation calibration (plain ViT
+            # engine; the rank/residual engines use dynamic per-token scales)
+            caps = None
+            if calib_images is not None and not self._rank_layers:
+                caps = collect_activation_caps(
+                    model.params, jnp.asarray(calib_images),
+                    patch_size=module.patch_size,
+                    num_heads=module.num_heads,
+                    num_class_tokens=getattr(module, "num_class_tokens", 1),
+                    num_registers=getattr(module, "num_registers", 0),
+                    ln_eps=getattr(module, "ln_eps", 1e-5),
+                    percentile=calib_percentile,
+                )
             self.params = quantize_vit_params(model.params)
             if self._rank_layers:
                 # int8 + physical token drop: one jitted fn per budget
@@ -630,7 +830,7 @@ class InferenceEngine:
                 self._rank_fwd = rankvit_forward_quant
                 self._fn = None
                 return
-            self._fn = jax.jit(functools.partial(
+            self._fn = self._jit(functools.partial(
                 vit_forward_quant,
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
@@ -639,6 +839,7 @@ class InferenceEngine:
                 ln_eps=getattr(module, "ln_eps", 1e-5),
                 compute_dtype=compute_dtype,
                 interpret=interpret,
+                caps=caps,
             ))
             return
         common = dict(
@@ -653,8 +854,15 @@ class InferenceEngine:
             self._rank_common = dict(common, rankvit_layers=self._rank_layers)
             self._rank_fns = {}  # budget -> jitted fn (static shapes)
             self._fn = None
+            if max_budget is not None:
+                # single-compile padded drop: budget is a traced operand
+                self._rank_max_budget = float(max_budget)
+                self._fn = self._jit(functools.partial(
+                    rankvit_forward_padded, max_budget=float(max_budget),
+                    **self._rank_common,
+                ), n_scalar_args=1)
         else:
-            self._fn = jax.jit(functools.partial(
+            self._fn = self._jit(functools.partial(
                 vit_forward_fused,
                 num_registers=getattr(module, "num_registers", 0),
                 **common,
@@ -667,9 +875,16 @@ class InferenceEngine:
             return self._fn(self.params, images, jnp.float32(b))
         if self._rank_layers:
             b = 1.0 if budget is None else float(budget)
+            if getattr(self, "_rank_max_budget", None) is not None:
+                if b > self._rank_max_budget + 1e-9:
+                    raise ValueError(
+                        f"budget {b} exceeds the engine's static "
+                        f"max_budget {self._rank_max_budget}"
+                    )
+                return self._fn(self.params, images, jnp.float32(b))
             if b not in self._rank_fns:
                 fwd = getattr(self, "_rank_fwd", rankvit_forward_fused)
-                self._rank_fns[b] = jax.jit(functools.partial(
+                self._rank_fns[b] = self._jit(functools.partial(
                     fwd, budget=b, **self._rank_common
                 ))
             return self._rank_fns[b](self.params, images)

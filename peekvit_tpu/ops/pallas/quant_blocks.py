@@ -26,8 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from peekvit_tpu.ops.pallas.fused_attention import (_safe_images_per_cell,
-                                                    _softmax_rows)
+from peekvit_tpu.ops.pallas.fused_attention import (_attn_scores_pv,
+                                                    _safe_images_per_cell)
 
 
 def quantize_linear(w: jax.Array):
@@ -39,9 +39,19 @@ def quantize_linear(w: jax.Array):
     return wq, scale
 
 
-def _quant_rows(x: jax.Array):
-    """fp (rows, d) -> (int8 rows, (rows, 1) fp32 per-row scales)."""
+def _quant_rows(x: jax.Array, cap=None):
+    """fp (rows, d) -> (int8 rows, fp32 scales).
+
+    ``cap=None``: dynamic symmetric per-row quantization (one abs-max per
+    row). ``cap=<static float>``: STATIC calibrated quantization — scale is
+    the constant cap/127 and activations saturate at the cap (percentile
+    calibration clips outliers instead of letting them inflate the scale);
+    also skips the per-row abs-max VPU pass."""
     xf = x.astype(jnp.float32)
+    if cap is not None:
+        s = jnp.float32(max(float(cap), 1e-12) / 127.0)
+        xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        return xq, s
     s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     s = jnp.maximum(s, 1e-12)
     xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
@@ -118,7 +128,7 @@ def quant_mlp_block_xla(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
 
 def _q_attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                    wo_ref, so_ref, bo_ref, o_ref, *, num_heads: int,
-                   eps: float):
+                   eps: float, caps=None):
     mi, n, d = x_ref.shape
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
@@ -126,7 +136,7 @@ def _q_attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     xf = x.astype(jnp.float32)
 
     ln = _ln_f32(x, lns_ref, lnb_ref, eps)
-    lq, ls = _quant_rows(ln)
+    lq, ls = _quant_rows(ln, caps[0] if caps else None)
     qkv = _qmatmul(lq, ls, wqkv_ref, sqkv_ref) + bqkv_ref[0].astype(jnp.float32)
     qkv = qkv.astype(jnp.bfloat16)
 
@@ -138,34 +148,26 @@ def _q_attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         outs = []
         for j in range(mi):
             qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
-            logits = jax.lax.dot_general(
-                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            w = _softmax_rows(logits)
-            outs.append(jax.lax.dot_general(
-                w.astype(vj.dtype), vj,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16))
+            outs.append(
+                _attn_scores_pv(qj, kj, vj, scale).astype(jnp.bfloat16))
         attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
     attn = jnp.concatenate(attn_cols, axis=-1)
 
-    aq, as_ = _quant_rows(attn)
+    aq, as_ = _quant_rows(attn, caps[1] if caps else None)
     out = _qmatmul(aq, as_, wo_ref, so_ref) + bo_ref[0].astype(jnp.float32) + xf
     o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
 
 def _q_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
-                  w2_ref, s2_ref, b2_ref, o_ref, *, eps: float):
+                  w2_ref, s2_ref, b2_ref, o_ref, *, eps: float, caps=None):
     mi, n, d = x_ref.shape
     x = x_ref[...].reshape(mi * n, d)
     xf = x.astype(jnp.float32)
     ln = _ln_f32(x, lns_ref, lnb_ref, eps)
-    lq, ls = _quant_rows(ln)
+    lq, ls = _quant_rows(ln, caps[0] if caps else None)
     h = _qmatmul(lq, ls, w1_ref, s1_ref) + b1_ref[0].astype(jnp.float32)
     h = jax.nn.gelu(h)
-    hq, hs = _quant_rows(h)
+    hq, hs = _quant_rows(h, caps[1] if caps else None)
     out = _qmatmul(hq, hs, w2_ref, s2_ref) + b2_ref[0].astype(jnp.float32) + xf
     o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
@@ -177,10 +179,11 @@ def _specs(mi, n, d, weight_shapes):
     return io, [full(s) for s in weight_shapes]
 
 
-@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
 def quant_attention_block(x, ln_scale, ln_bias, wqkv_q, sqkv, b_qkv,
                           wo_q, so, b_out, num_heads: int, eps: float = 1e-5,
-                          interpret: bool = False, images_per_cell: int = 2):
+                          interpret: bool = False, images_per_cell: int = 2,
+                          caps=None):
     """int8 x + OutProj(MHSA(LN(x))). Weight args from quantize_linear."""
     b, n, d = x.shape
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
@@ -190,7 +193,8 @@ def quant_attention_block(x, ln_scale, ln_bias, wqkv_q, sqkv, b_qkv,
          (d, d), (1, d), (1, d)],
     )
     return pl.pallas_call(
-        functools.partial(_q_attn_kernel, num_heads=num_heads, eps=eps),
+        functools.partial(_q_attn_kernel, num_heads=num_heads, eps=eps,
+                          caps=caps),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=[io, w_lns, w_lnb, w_qkv, w_sqkv, w_bqkv, w_o, w_so, w_bo],
@@ -200,10 +204,10 @@ def quant_attention_block(x, ln_scale, ln_bias, wqkv_q, sqkv, b_qkv,
       b_qkv.reshape(1, 3 * d), wo_q, so, b_out.reshape(1, d))
 
 
-@functools.partial(jax.jit, static_argnums=(9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
 def quant_mlp_block(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
                     eps: float = 1e-5, interpret: bool = False,
-                    images_per_cell: int = 2):
+                    images_per_cell: int = 2, caps=None):
     """int8 x + MLP(LN(x)). Weight args from quantize_linear."""
     b, n, d = x.shape
     m = w1_q.shape[-1]
@@ -213,7 +217,7 @@ def quant_mlp_block(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
         [(1, d), (1, d), (d, m), (1, m), (1, m), (m, d), (1, d), (1, d)],
     )
     return pl.pallas_call(
-        functools.partial(_q_mlp_kernel, eps=eps),
+        functools.partial(_q_mlp_kernel, eps=eps, caps=caps),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=[io, w_lns, w_lnb, w_1, w_s1, w_b1, w_2, w_s2, w_b2],
@@ -248,14 +252,8 @@ def _q_masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
         outs = []
         for j in range(mi):
             qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
-            logits = jax.lax.dot_general(
-                qj, kj, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            w = _softmax_rows(logits)
-            outs.append(jax.lax.dot_general(
-                w.astype(vj.dtype), vj,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+            outs.append(
+                _attn_scores_pv(qj, kj, vj, scale).astype(jnp.bfloat16))
         attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
     attn = jnp.concatenate(attn_cols, axis=-1)
 

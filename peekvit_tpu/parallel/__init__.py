@@ -29,3 +29,8 @@ __all__ = [
     "shard_batch",
     "shard_params",
 ]
+from peekvit_tpu.parallel.pipeline import (  # noqa: F401
+    STAGE_AXIS,
+    pipeline_forward,
+    stack_stage_params,
+)

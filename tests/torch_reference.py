@@ -252,3 +252,42 @@ class TorchAViTEncoder(nn.Module):
             mask_token = (c_token < 1 - self.eps).float()
             output = delta1 + delta2 if output is None else output + delta1 + delta2
         return self.ln(output)
+
+
+class TorchResidualViT(nn.Module):
+    """Full residual ViT: TorchViT front/back end around
+    TorchSigmoidResidualBlock layers with a CONSTANT-fill budget token
+    (reference residualvit.py:400-470, add_budget_token=<float> mode,
+    'attention+mlp' skip, sigmoid gates, eval)."""
+
+    def __init__(self, image_size, patch_size, num_layers, num_heads,
+                 hidden_dim, mlp_dim, num_classes):
+        super().__init__()
+        self.patch_size = patch_size
+        self.hidden_dim = hidden_dim
+        self.conv_proj = nn.Conv2d(3, hidden_dim, kernel_size=patch_size,
+                                   stride=patch_size)
+        seq = (image_size // patch_size) ** 2 + 1
+        self.class_tokens = nn.Parameter(torch.zeros(1, 1, hidden_dim))
+        self.pos_embedding = nn.Parameter(torch.randn(1, seq, hidden_dim) * 0.02)
+        self.layers = nn.ModuleList(
+            [TorchSigmoidResidualBlock(num_heads, hidden_dim, mlp_dim)
+             for _ in range(num_layers)]
+        )
+        self.ln = nn.LayerNorm(hidden_dim)
+        self.head = nn.Linear(hidden_dim, num_classes)
+        fan_in = 3 * patch_size * patch_size
+        nn.init.trunc_normal_(self.conv_proj.weight, std=math.sqrt(1 / fan_in))
+        nn.init.zeros_(self.conv_proj.bias)
+
+    def forward(self, x, budget: float):
+        n = x.shape[0]
+        x = self.conv_proj(x).reshape(n, self.hidden_dim, -1).permute(0, 2, 1)
+        x = torch.cat([self.class_tokens.expand(n, -1, -1), x], dim=1)
+        x = x + self.pos_embedding
+        btok = torch.full((n, 1, self.hidden_dim), float(budget))
+        x = torch.cat([x, btok], dim=1)
+        for blk in self.layers:
+            x, _ = blk(x)
+        x = self.ln(x)
+        return self.head(x[:, :1].sum(dim=1))

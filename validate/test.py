@@ -80,8 +80,14 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         from peekvit_tpu.inference import InferenceEngine
 
         try:
-            engine = InferenceEngine(model)
-            print("eval path: fused InferenceEngine", flush=True)
+            engine = InferenceEngine(
+                model,
+                quantized=tcfg.get("quantized", False),
+                max_budget=tcfg.get("engine_max_budget"),
+            )
+            print("eval path: fused InferenceEngine"
+                  + (" (int8 w8a8)" if tcfg.get("quantized") else ""),
+                  flush=True)
         except NotImplementedError as e:  # unsupported residual mode
             print(f"fused engine unavailable ({e}); linen eval path", flush=True)
 
