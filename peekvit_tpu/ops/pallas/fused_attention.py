@@ -281,7 +281,12 @@ def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                       b2_ref, o_ref, *, eps: float):
     """Fused pre-LN MLP sublayer for one image: out = x + fc2(gelu(fc1(LN(x)))).
     The (N, mlp_dim) hidden activation never leaves VMEM (XLA writes it to
-    HBM between the fc1 and fc2 fusions: ~0.5 GB/layer at ViT-B bs256)."""
+    HBM between the fc1 and fc2 fusions: ~0.5 GB/layer at ViT-B bs256).
+
+    gelu here is the tanh approximation: Mosaic has no erf/erfc lowering,
+    so the exact-erf form the linen MLP uses (ops/mlp.py) is unavailable
+    in-kernel. Max relative deviation of tanh-gelu is ~1e-3 — inside every
+    engine parity tolerance; documented rather than silent."""
     mi, n, d = x_ref.shape
     x = x_ref[...].reshape(mi * n, d)
     xf = x.astype(jnp.float32)

@@ -34,3 +34,6 @@ from peekvit_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_forward,
     stack_stage_params,
 )
+from peekvit_tpu.parallel.sequence import (  # noqa: F401
+    sequence_parallel_vit_block,
+)

@@ -226,3 +226,23 @@ def test_pipeline_forward_matches_sequential():
                            num_microbatches=4, axis="stage")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sequence_parallel_block_matches_unsharded():
+    """Token axis sharded over the model axis (Megatron-SP layout): LN /
+    projections / MLP on local token shards, attention all-gathers K/V.
+    Output == the plain ViTBlock forward."""
+    from peekvit_tpu.models.vit import ViTBlock
+    from peekvit_tpu.parallel import sequence_parallel_vit_block
+
+    d, h, m = 32, 4, 64
+    block = ViTBlock(num_heads=h, hidden_dim=d, mlp_dim=m)
+    x = jnp.asarray(np.random.default_rng(41).normal(size=(2, 16, d)),
+                    jnp.float32)
+    variables = block.init(jax.random.key(200), x)
+    want = block.apply(variables, x)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    got = sequence_parallel_vit_block(variables["params"], x, h, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
