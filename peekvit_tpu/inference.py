@@ -439,7 +439,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
                           num_heads: int, rankvit_layers: tuple,
                           num_class_tokens: int = 1, ln_eps: float = 1e-5,
                           compute_dtype=jnp.bfloat16,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False, caps=None) -> jax.Array:
     """int8 w8a8 + physical token dropping: the sparse serving fast path.
 
     Composes rankvit_forward_fused's static top-k gather with the int8
@@ -463,7 +463,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
 
-    for i in _layer_ids(enc):
+    for li, i in enumerate(_layer_ids(enc)):
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
             n_keep = int(math.ceil(n_alive * budget))
@@ -473,12 +473,14 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
             kept = jnp.take_along_axis(img, idx[..., None], axis=1)
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
         lp = enc[f"layers_{i}"]
+        acaps = caps[li][0] if caps else None
+        mcaps = caps[li][1] if caps else None
         if fuse_attn:
             tokens = quant_attention_block(
                 tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
                 lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
                 lp["wo_q"], lp["so"], cast(lp["bo"]),
-                num_heads, ln_eps, interpret,
+                num_heads, ln_eps, interpret, 2, acaps,
             )
         else:
             tokens = quant_attention_block_xla(
@@ -491,7 +493,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
                 tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
                 lp["w1_q"], lp["s1"], cast(lp["b1"]),
                 lp["w2_q"], lp["s2"], cast(lp["b2"]),
-                ln_eps, interpret,
+                ln_eps, interpret, 2, mcaps,
             )
         else:
             tokens = quant_mlp_block_xla(
@@ -801,10 +803,10 @@ class InferenceEngine:
                     residualvit_forward_fused, **common), n_scalar_args=1)
             return
         if quantized:
-            # optional static percentile activation calibration (plain ViT
-            # engine; the rank/residual engines use dynamic per-token scales)
+            # optional static percentile activation calibration (ViT and
+            # RankViT engines; the residual engine keeps dynamic scales)
             caps = None
-            if calib_images is not None and not self._rank_layers:
+            if calib_images is not None:
                 caps = collect_activation_caps(
                     model.params, jnp.asarray(calib_images),
                     patch_size=module.patch_size,
@@ -817,6 +819,9 @@ class InferenceEngine:
             self.params = quantize_vit_params(model.params)
             if self._rank_layers:
                 # int8 + physical token drop: one jitted fn per budget
+                # (caps calibrated at full token count; a high percentile
+                # transfers across budgets since dropping only removes
+                # low-norm tokens)
                 self._rank_common = dict(
                     patch_size=module.patch_size,
                     num_heads=module.num_heads,
@@ -825,6 +830,7 @@ class InferenceEngine:
                     ln_eps=getattr(module, "ln_eps", 1e-5),
                     compute_dtype=compute_dtype,
                     interpret=interpret,
+                    caps=caps,
                 )
                 self._rank_fns = {}
                 self._rank_fwd = rankvit_forward_quant

@@ -325,3 +325,31 @@ def test_quant_calibrated_engine_accuracy_guardrail():
         assert agree >= bar, f"{name}: top-1 agreement {agree}"
     # calibration changes the numerics (static caps actually in effect)
     assert not np.allclose(np.asarray(dyn(x)), np.asarray(cal(x)))
+
+
+def test_quant_calibrated_rankvit_engine():
+    """Calibration also applies to the RankViT w8a8 engine (caps measured
+    at full token count transfer across budgets)."""
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, rankvit_layers=[1, 2]),
+        seed=81,
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(82), model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(29).normal(size=(4, 32, 32, 3)), jnp.float32)
+    cal = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          quantized=True, calib_images=x[:2])
+    dyn = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          quantized=True)
+    for budget in (0.5, 1.0):
+        want, _ = model(x, budget=budget)
+        got = np.asarray(cal(x, budget=budget))
+        rel = np.abs(got - np.asarray(want)) / (
+            np.abs(np.asarray(want)).max() + 1e-6)
+        assert rel.mean() < 0.07, f"budget {budget}: rel {rel.mean()}"
+    # static caps actually differ from the dynamic path
+    assert not np.allclose(np.asarray(cal(x, budget=0.5)),
+                           np.asarray(dyn(x, budget=0.5)))
