@@ -60,11 +60,11 @@ class AViTBlock(nn.Module):
     def __call__(self, x: jax.Array, active: jax.Array, *, train: bool = False):
         """active: (B, N) 1 = still computing. Returns (x, halting_score)."""
         a = active[..., None]
-        y = nn.LayerNorm(name="ln_1")(x * a) * a
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x * a) * a
         x = x + SelfAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout, name="self_attention"
         )(y, deterministic=not train)
-        z = nn.LayerNorm(name="ln_2")(x * a) * a
+        z = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x * a) * a
         x = x + MLP(self.hidden_dim, self.mlp_dim, name="mlp")(z)
         h = jax.nn.sigmoid(x[:, :, 0] * self.gate_scale - self.gate_center)
         return x, h
@@ -207,7 +207,7 @@ class AViTEncoder(nn.Module):
             "counter_token": counter,
             "halting_score_layer": mean_h,  # (num_layers,)
         }
-        return nn.LayerNorm(name="ln")(output), aux
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(output), aux
 
 
 class AdaptiveVisionTransformer(nn.Module):

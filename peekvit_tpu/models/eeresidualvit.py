@@ -101,11 +101,11 @@ class EEResidualViTEncoder(nn.Module):
             # LN -> Linear exit head on the class tokens (reference :75-76,94)
             cls = tokens[:, : self.num_class_tokens]
             exit_head = nn.Sequential(
-                [nn.LayerNorm(), nn.Dense(self.num_classes)],
+                [nn.LayerNorm(epsilon=1e-5), nn.Dense(self.num_classes)],
                 name=f"early_exit_heads_{i}",
             )
             early_exits.append(jnp.squeeze(exit_head(cls), axis=1))
-        return nn.LayerNorm(name="ln")(tokens), early_exits, masks
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(tokens), early_exits, masks
 
 
 class EEResidualVisionTransformer(nn.Module):

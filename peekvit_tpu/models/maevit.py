@@ -51,7 +51,7 @@ class MAEViTEncoder(nn.Module):
                 self.num_heads, self.hidden_dim, self.mlp_dim,
                 self.dropout, self.attention_dropout, name=f"layers_{i}",
             )(x, train=train)
-        return nn.LayerNorm(name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
 
 
 class MAEVisionTransformer(nn.Module):

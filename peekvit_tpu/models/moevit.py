@@ -109,14 +109,14 @@ class ViTBlockMoE(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False):
-        y = nn.LayerNorm(name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         y, attn_probs = AttentionMoE(
             self.hidden_dim, self.num_heads, self.attn_num_experts,
             self.attention_dropout, name="self_attention",
         )(y, train=train)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = x + y
-        z = nn.LayerNorm(name="ln_2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         z, mlp_probs = MLPMoE(
             self.hidden_dim, self.mlp_dim, self.mlp_num_experts, name="mlp"
         )(z, train=train)
@@ -176,7 +176,7 @@ class ViTEncoderMoE(nn.Module):
                 gating[f"layer_{i}"] = {
                     k: v for k, v in probs.items() if v is not None
                 }
-        return nn.LayerNorm(name="ln")(x), gating
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x), gating
 
 
 class VisionTransformerMoE(nn.Module):

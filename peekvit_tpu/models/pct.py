@@ -84,11 +84,11 @@ class PCTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        y = nn.LayerNorm(name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         x = SelfAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout, name="self_attention"
         )(y, deterministic=not train) + x
-        z = nn.LayerNorm(name="ln_2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         return MLP(self.hidden_dim, self.mlp_dim, name="mlp")(z) + x
 
 

@@ -86,13 +86,13 @@ class RankingPCTBlock(nn.Module):
                 key_mask = mask
         m = 1.0 if mask is None else mask[..., None]
 
-        y = nn.LayerNorm(name="ln_1")(tokens)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(tokens)
         if train and mask is not None:
             y = y * m  # mask_tokens re-applied to LN output (reference :135)
         x = SelfAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout, name="self_attention"
         )(y, key_mask=key_mask, deterministic=not train) + tokens
-        z = nn.LayerNorm(name="ln_2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         if train and mask is not None:
             z = z * m
         x = MLP(self.hidden_dim, self.mlp_dim, name="mlp")(z) + x

@@ -162,7 +162,7 @@ class RankViTEncoder(nn.Module):
                     self.attention_dropout,
                     name=f"layers_{i}",
                 )(tokens, train=train, key_mask=key_mask)
-        return nn.LayerNorm(name="ln")(tokens), masks
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(tokens), masks
 
 
 class RankVisionTransformer(nn.Module):

@@ -316,7 +316,7 @@ class ResidualViTEncoder(nn.Module):
             )(tokens, train=train)
             if mask is not None:
                 masks[f"layer_{i}"] = mask
-        return nn.LayerNorm(name="ln")(tokens), masks
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(tokens), masks
 
 
 class ResidualVisionTransformer(nn.Module):

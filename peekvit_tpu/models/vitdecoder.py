@@ -45,7 +45,7 @@ class ViTDecoderEncoder(nn.Module):
                 self.attention_dropout,
                 name=f"layers_{i}",
             )(x, train=train)
-        return nn.LayerNorm(name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
 
 
 class VisionTransformerDecoder(nn.Module):

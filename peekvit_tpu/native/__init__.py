@@ -24,19 +24,21 @@ _lib = None
 _build_error: Optional[str] = None
 
 
-def _so_path() -> str:
-    """Cache path keyed on the source hash (never stale after a clone)."""
+def _so_path() -> Optional[str]:
+    """Cache path keyed on the source hash (never stale after a clone).
+    Computed lazily so importing this package never raises when the .cpp
+    is absent (e.g. a packaged install) — available() just reports False
+    (ADVICE r2)."""
+    if not os.path.exists(_SRC):
+        return None
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:12]
     return os.path.join(_DIR, f"image_pipeline-{digest}.so")
 
 
-_SO = _so_path()
-
-
-def _build() -> Optional[str]:
+def _build(so: str) -> Optional[str]:
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC,
+        "g++", "-O3", "-shared", "-fPIC", "-o", so, _SRC,
         "-ljpeg", "-lpng", "-lpthread",
     ]
     try:
@@ -45,6 +47,15 @@ def _build() -> Optional[str]:
         return str(e)
     if proc.returncode != 0:
         return proc.stderr[-2000:]
+    # drop stale hashed binaries from earlier source revisions
+    for name in os.listdir(_DIR):
+        path = os.path.join(_DIR, name)
+        if (name.startswith("image_pipeline-") and name.endswith(".so")
+                and path != so):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
     return None
 
 
@@ -54,11 +65,15 @@ def load_library():
         return _lib
     if _build_error is not None:
         return None
-    if not os.path.exists(_SO):
-        _build_error = _build()
+    so = _so_path()
+    if so is None:
+        _build_error = f"native source not found: {_SRC}"
+        return None
+    if not os.path.exists(so):
+        _build_error = _build(so)
         if _build_error is not None:
             return None
-    lib = ctypes.CDLL(_SO)
+    lib = ctypes.CDLL(so)
     lib.pv_decode_transform.restype = ctypes.c_int
     lib.pv_decode_transform.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,

@@ -78,11 +78,13 @@ def _ln_f32(x, scale_ref, bias_ref, eps):
     )
 
 
-def _quant_linear_xla(x, wq, sw, b):
-    """XLA w8a8 linear: per-row dynamic act quant, int8 dot -> int32,
-    dequant. Same math as the in-kernel _quant_rows + _qmatmul; used as the
-    fallback when weights exceed the Pallas VMEM budget (ViT-L/H scale)."""
-    xq, sx = _quant_rows(x)
+def _quant_linear_xla(x, wq, sw, b, cap=None):
+    """XLA w8a8 linear: per-row dynamic act quant (or STATIC calibrated
+    quant when ``cap`` is given — same semantics as the in-kernel path),
+    int8 dot -> int32, dequant. Same math as _quant_rows + _qmatmul; used
+    as the fallback when weights exceed the Pallas VMEM budget (ViT-L/H
+    scale)."""
+    xq, sx = _quant_rows(x, cap)
     acc = jax.lax.dot_general(
         xq, wq,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
@@ -94,9 +96,12 @@ def _quant_linear_xla(x, wq, sw, b):
 
 def quant_attention_block_xla(x, ln_scale, ln_bias, wqkv_q, sqkv, b_qkv,
                               wo_q, so, b_out, num_heads: int,
-                              eps: float = 1e-5, mask=None):
+                              eps: float = 1e-5, mask=None, caps=None):
     """XLA fallback for quant_attention_block (+ masked variant when
-    ``mask`` is given): x + [mask *] OutProj(MHSA([mask *] LN(x)))."""
+    ``mask`` is given): x + [mask *] OutProj(MHSA([mask *] LN(x))).
+    ``caps``: optional (ln_cap, attn_cap) static calibration pair — the
+    same pair quant_attention_block takes, so a calibrated engine stays
+    calibrated when the VMEM guard routes a layer here (ADVICE r2)."""
     from peekvit_tpu.ops.attention import attention_core
 
     d = x.shape[-1]
@@ -104,25 +109,28 @@ def quant_attention_block_xla(x, ln_scale, ln_bias, wqkv_q, sqkv, b_qkv,
     ln = _ln_f32(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), eps)
     if mask is not None:
         ln = ln * mask.astype(jnp.float32)
-    qkv = _quant_linear_xla(ln, wqkv_q, sqkv, b_qkv).astype(jnp.bfloat16)
+    qkv = _quant_linear_xla(ln, wqkv_q, sqkv, b_qkv,
+                            caps[0] if caps else None).astype(jnp.bfloat16)
     q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
     attn = attention_core(q, k, v, num_heads)
-    out = _quant_linear_xla(attn, wo_q, so, b_out)
+    out = _quant_linear_xla(attn, wo_q, so, b_out, caps[1] if caps else None)
     if mask is not None:
         out = out * mask.astype(jnp.float32)
     return (out + xf).astype(x.dtype)
 
 
 def quant_mlp_block_xla(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
-                        eps: float = 1e-5, mask=None):
-    """XLA fallback for quant_mlp_block (+ masked variant)."""
+                        eps: float = 1e-5, mask=None, caps=None):
+    """XLA fallback for quant_mlp_block (+ masked variant). ``caps``:
+    optional (ln_cap, gelu_cap) static calibration pair (ADVICE r2)."""
     d = x.shape[-1]
     xf = x.astype(jnp.float32)
     ln = _ln_f32(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), eps)
     if mask is not None:
         ln = ln * mask.astype(jnp.float32)
-    h = jax.nn.gelu(_quant_linear_xla(ln, w1_q, s1, b1))
-    out = _quant_linear_xla(h, w2_q, s2, b2)
+    h = jax.nn.gelu(_quant_linear_xla(ln, w1_q, s1, b1,
+                                      caps[0] if caps else None))
+    out = _quant_linear_xla(h, w2_q, s2, b2, caps[1] if caps else None)
     return (out + xf).astype(x.dtype)
 
 

@@ -45,7 +45,10 @@ class OptimizerSpec:
                 learning_rate=self.lr, weight_decay=self.weight_decay
             )
         elif self.kind == "sgd":
-            base = optax.inject_hyperparams(_sgd_l2)(
+            # only the lr is schedule-injected; weight_decay/momentum gate
+            # Python conditionals in _sgd_l2 and must stay static
+            base = optax.inject_hyperparams(
+                _sgd_l2, static_args=("weight_decay", "momentum"))(
                 learning_rate=self.lr,
                 weight_decay=self.weight_decay,
                 momentum=self.momentum,
