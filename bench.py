@@ -95,18 +95,19 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
     def step_sum(params, x, carry):
         return jnp.sum(fwd(params, x + carry * 0))
 
-    def measure(bs, reps_, rounds: int = 3):
-        # best of `rounds` timing passes: the axon tunnel adds a few
-        # percent of run-to-run interference noise; peak steady-state is
-        # the meaningful throughput figure
+    def measure(bs, reps_, rounds: int = 5):
+        # median of `rounds` timing passes as the headline: robust to the
+        # axon tunnel's few-percent run-to-run interference without the
+        # upward bias of best-of-N (ADVICE r2); the max is also reported.
         x = jax.random.normal(jax.random.key(0), (bs, 224, 224, 3),
                               jnp.bfloat16)
-        return max(
+        vals = sorted(
             bs / device_seconds_per_iter(step_sum, (params, x), reps_)
             for _ in range(rounds)
         )
+        return vals[len(vals) // 2], vals[-1]
 
-    images_per_sec = measure(batch_size, reps)
+    images_per_sec, images_per_sec_best = measure(batch_size, reps)
 
     flops_per_image = 2.0 * analytic_macs(model.module)
     roofline = peak_flops(dev) / flops_per_image
@@ -115,12 +116,14 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / roofline, 4),
+        "value_best": round(images_per_sec_best, 1),
+        "vs_baseline_best": round(images_per_sec_best / roofline, 4),
     }
     if also_bs2048 and on_tpu:
         # the reference eval recipe names test_batch_size=2048; report it
         # alongside the headline (measured: batch size does not move
         # per-image throughput — the per-layer kernels dominate)
-        ips2048 = measure(2048, max(4, reps // 4))
+        ips2048, _ = measure(2048, max(4, reps // 4), rounds=3)
         result["value_bs2048"] = round(ips2048, 1)
         result["vs_baseline_bs2048"] = round(ips2048 / roofline, 4)
     print(json.dumps(result))

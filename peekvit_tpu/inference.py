@@ -28,6 +28,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _patchify(x: jax.Array, patch_size: int) -> jax.Array:
@@ -69,11 +70,15 @@ def _embed(params, images, patch_size, num_class_tokens, num_registers, cast):
 
 
 def _classify(params, tokens, num_class_tokens, cast, ln_eps=1e-5):
-    """Shared back end: final LN -> SUM of class tokens (§7.10) -> head."""
+    """Shared back end: final LN -> SUM of class tokens (§7.10) -> head.
+
+    LN is token-local and only the class tokens feed the head, so the
+    slice happens BEFORE the LN: normalizing all N tokens to read C of
+    them costs ~0.3 ms/forward at ViT-B bs256."""
     enc = params["encoder"]
-    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
-                         cast(enc["ln"]["bias"]), ln_eps)
-    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
+    cls = _layer_norm(tokens[:, :num_class_tokens], cast(enc["ln"]["scale"]),
+                      cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(cls, axis=1)
     logits = cls @ cast(params["head"]["kernel"]) + cast(params["head"]["bias"])
     return logits.astype(jnp.float32)
 
@@ -82,10 +87,13 @@ def _layer_ids(enc):
     return sorted(int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
 
 
-# VMEM budget for weights resident in a fused kernel (v5e has 16 MB more or
-# less; leave room for activation blocks + double buffering). Bigger models
-# (ViT-L/H MLPs) fall back to the XLA path instead of OOMing the kernel.
+# VMEM budgets for weights resident in a fused kernel. The merged per-layer
+# kernels raise Mosaic's scoped-vmem limit (v5e has 128 MB of VMEM; the
+# default scoped limit is what round 2 mistook for hardware) and keep the
+# whole layer's weights resident; split kernels keep the conservative
+# default-limit budget; anything bigger falls back to XLA.
 _KERNEL_WEIGHT_BYTES_LIMIT = 11 * 1024 * 1024
+_MERGED_WEIGHT_BYTES_LIMIT = 64 * 1024 * 1024
 
 
 def _mlp_fusable(d: int, m: int, itemsize: int = 2) -> bool:
@@ -96,6 +104,11 @@ def _attn_fusable(d: int, itemsize: int = 2) -> bool:
     return (3 * d * d + d * d) * itemsize <= _KERNEL_WEIGHT_BYTES_LIMIT
 
 
+def _layer_fusable(d: int, m: int, itemsize: int = 2) -> bool:
+    """Whole layer (attn + MLP weights) resident in VMEM at once."""
+    return (4 * d * d + 2 * d * m) * itemsize <= _MERGED_WEIGHT_BYTES_LIMIT
+
+
 def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
@@ -103,7 +116,9 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
                       interpret: bool = False) -> jax.Array:
     """Eval forward of a plain ViT from its param tree (fused blocks)."""
     from peekvit_tpu.ops.pallas.fused_attention import (
+        fold_ln_into_weights,
         fused_attention_block,
+        fused_layer_block_folded,
         fused_mlp_block,
     )
 
@@ -111,14 +126,36 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     tokens, d = _embed(params, images, patch_size, num_class_tokens,
                        num_registers, cast)
     enc = params["encoder"]
-    mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["mlp"]["fc1_kernel"].shape[-1]
+    ids = _layer_ids(enc)
+    if not ids:  # layer-less tree (overhead microbenches)
+        return _classify(params, tokens + cast(enc["pos_embedding"]),
+                         num_class_tokens, cast, ln_eps)
+    mlp_dim = enc[f"layers_{ids[0]}"]["mlp"]["fc1_kernel"].shape[-1]
+    fuse_layer = fused_mlp and _layer_fusable(d, mlp_dim)
     fused_mlp = fused_mlp and _mlp_fusable(d, mlp_dim)
     fuse_attn = _attn_fusable(d)
     tokens = tokens + cast(enc["pos_embedding"])
 
-    for i in _layer_ids(enc):
+    for i in ids:
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
+        if fuse_layer:
+            # one kernel per layer (no HBM round trip between sublayers),
+            # LN affines folded into the qkv/fc1 weights
+            wqkv, bqkv = fold_ln_into_weights(
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+            w1, b1 = fold_ln_into_weights(
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+            tokens = fused_layer_block_folded(
+                tokens, wqkv, bqkv,
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                w1, b1,
+                cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+                num_heads, ln_eps, interpret,
+            )
+            continue
         if fuse_attn:
             tokens = fused_attention_block(
                 tokens,
@@ -277,6 +314,7 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                 tokens, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["wqkv_q"], lp["sqkv"], lp["bqkv"],
                 lp["wo_q"], lp["so"], lp["bo"], num_heads, ln_eps,
+                caps=acaps,
             )
         if fuse_mlp:
             tokens = quant_mlp_block(
@@ -289,7 +327,7 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
             tokens = quant_mlp_block_xla(
                 tokens, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
                 lp["w1_q"], lp["s1"], lp["b1"],
-                lp["w2_q"], lp["s2"], lp["b2"], ln_eps,
+                lp["w2_q"], lp["s2"], lp["b2"], ln_eps, caps=mcaps,
             )
     return _classify(qparams, tokens, num_class_tokens, cast, ln_eps)
 
@@ -311,10 +349,9 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     all the head reads.
     """
     from peekvit_tpu.ops.pallas.fused_attention import (
-        fused_attention_block,
-        fused_mlp_block,
+        fold_ln_into_weights,
+        fused_layer_block_folded,
     )
-    import math
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     c = num_class_tokens
@@ -325,7 +362,11 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     for i in _layer_ids(enc):
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
-            n_keep = int(math.ceil(n_alive * budget))  # rankvit.py:74
+            # f32 product + ceil matches the linen _rank_update (and the
+            # padded engine) bit-for-bit at boundary budgets; f64 math.ceil
+            # could keep one extra token when the f32/f64 products straddle
+            # an integer (ADVICE r2)
+            n_keep = int(np.ceil(np.float32(n_alive) * np.float32(budget)))
             img = tokens[:, c:]
             norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
             _, idx = jax.lax.top_k(norms, n_keep)
@@ -333,19 +374,18 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
-        tokens = fused_attention_block(
-            tokens,
+        wqkv, bqkv = fold_ln_into_weights(
             cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
-            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-            num_heads, ln_eps, interpret,
-        )
-        tokens = fused_mlp_block(
-            tokens,
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+        w1, b1 = fold_ln_into_weights(
             cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+        tokens = fused_layer_block_folded(
+            tokens, wqkv, bqkv,
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            w1, b1,
             cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
-            ln_eps, interpret,
+            num_heads, ln_eps, interpret,
         )
     return _classify(params, tokens, c, cast, ln_eps)
 
@@ -370,9 +410,9 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
     import math
 
     from peekvit_tpu.ops.pallas.fused_attention import (
-        fused_attention_block,
-        fused_mlp_block,
-        keymasked_attention_block,
+        fold_ln_into_weights,
+        fused_layer_block_folded,
+        keymasked_layer_block_folded,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
@@ -406,32 +446,27 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
             n_img = keep_max
             n_valid = num_keep
+        wqkv, bqkv = fold_ln_into_weights(
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+        w1, b1 = fold_ln_into_weights(
+            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+        wargs = (
+            wqkv, bqkv,
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            w1, b1,
+            cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+        )
         if valid is None:
-            tokens = fused_attention_block(
-                tokens,
-                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
-                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-                num_heads, ln_eps, interpret,
-            )
+            tokens = fused_layer_block_folded(
+                tokens, *wargs, num_heads, ln_eps, interpret)
         else:
             km = jnp.concatenate(
                 [jnp.ones((b, c), jnp.float32), valid], axis=1
             ).reshape(b, 1, c + n_img).astype(compute_dtype)
-            tokens = keymasked_attention_block(
-                tokens, km,
-                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
-                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-                num_heads, ln_eps, interpret,
-            )
-        tokens = fused_mlp_block(
-            tokens,
-            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
-            cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
-            ln_eps, interpret,
-        )
+            tokens = keymasked_layer_block_folded(
+                tokens, km, *wargs, num_heads, ln_eps, interpret)
     return _classify(params, tokens, c, cast, ln_eps)
 
 
@@ -466,7 +501,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     for li, i in enumerate(_layer_ids(enc)):
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
-            n_keep = int(math.ceil(n_alive * budget))
+            n_keep = int(np.ceil(np.float32(n_alive) * np.float32(budget)))
             img = tokens[:, c:]
             norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
             _, idx = jax.lax.top_k(norms, n_keep)
@@ -487,6 +522,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
                 tokens, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["wqkv_q"], lp["sqkv"], lp["bqkv"],
                 lp["wo_q"], lp["so"], lp["bo"], num_heads, ln_eps,
+                caps=acaps,
             )
         if fuse_mlp:
             tokens = quant_mlp_block(
@@ -499,7 +535,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
             tokens = quant_mlp_block_xla(
                 tokens, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
                 lp["w1_q"], lp["s1"], lp["b1"],
-                lp["w2_q"], lp["s2"], lp["b2"], ln_eps,
+                lp["w2_q"], lp["s2"], lp["b2"], ln_eps, caps=mcaps,
             )
     return _classify(qparams, tokens, c, cast, ln_eps)
 
@@ -642,10 +678,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     exactly zero. Block LN eps is 1e-6 (§7.12); the final encoder LN is
     the default 1e-5.
     """
-    from peekvit_tpu.ops.pallas.fused_attention import (
-        masked_attention_block,
-        masked_mlp_block,
-    )
+    from peekvit_tpu.ops.pallas.fused_attention import masked_layer_block
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     c = num_class_tokens
@@ -702,19 +735,15 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
 
         at = lp["self_attention"]
-        tokens = masked_attention_block(
+        tokens = masked_layer_block(
             tokens, fwd_mask,
             cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
             cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
             cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-            num_heads, 1e-6, interpret,
-        )
-        tokens = masked_mlp_block(
-            tokens, fwd_mask,
             cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
             cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
             cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
-            1e-6, interpret,
+            num_heads, 1e-6, interpret,
         )
 
     return _classify(params, tokens, c, cast, ln_eps=1e-5)
@@ -762,6 +791,13 @@ class InferenceEngine:
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if quantized and max_budget is not None:
+            # the padded single-compile drop is bf16-only; silently falling
+            # back to per-budget quant compiles would no-op the knob
+            raise ValueError(
+                "max_budget= (single-compile padded drop) is not implemented "
+                "for quantized=True; use the bf16 engine for a traced budget "
+                "knob or the quantized engine's per-budget compiles")
         self._mesh = mesh
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
         self._residual = type(module).__name__ == "ResidualVisionTransformer"
@@ -876,6 +912,15 @@ class InferenceEngine:
         self.params = model.params
 
     def __call__(self, images, budget: Optional[float] = None) -> jax.Array:
+        if self._mesh is not None:
+            from peekvit_tpu.parallel.mesh import DATA_AXIS
+
+            axis = self._mesh.shape[DATA_AXIS]
+            if images.shape[0] % axis:
+                raise ValueError(
+                    f"batch size {images.shape[0]} must divide the mesh's "
+                    f"'{DATA_AXIS}' axis size {axis} for data-parallel "
+                    "serving (shard_map splits the batch evenly)")
         if getattr(self, "_residual", False):
             b = 1.0 if budget is None else budget
             return self._fn(self.params, images, jnp.float32(b))

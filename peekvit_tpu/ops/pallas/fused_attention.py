@@ -70,12 +70,18 @@ def _attn_scores_pv(qj, kj, vj, scale, kmask=None):
     e = jnp.exp2(jnp.clip(logits, -80.0, 115.0).astype(qj.dtype))
     if kmask is not None:
         e = e * kmask[None, :].astype(e.dtype)
-    s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        e, vj, dimension_numbers=(((1,), (0,)), ((), ())),
+    # rowsum folded into the PV matmul as a ones-column on v: at head_dim
+    # 64 the MXU tile is 128 lanes wide anyway, so the extra column is
+    # free and the (N, N) VPU reduction disappears (accumulated in the
+    # matmul's fp32 accumulator, same precision as the explicit sum).
+    ones = jnp.ones((vj.shape[0], 1), vj.dtype)
+    pv_ext = jax.lax.dot_general(
+        e, jnp.concatenate([vj, ones], axis=-1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return pv * (1.0 / s)
+    s = pv_ext[:, -1:]
+    return pv_ext[:, :-1] * (1.0 / s)
 
 
 def _mhsa_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
@@ -507,3 +513,247 @@ def keymasked_attention_block(x, key_mask, ln_scale, ln_bias, w_qkv, b_qkv,
         interpret=interpret,
     )(x, key_mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w_qkv,
       b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d))
+
+
+# ------------------------------------------- merged per-layer kernels
+#
+# Round-3 perf finding: the two-kernel split (attention sublayer + MLP
+# sublayer) pays a full (B, N, D) HBM round trip of tokens between the
+# sublayers. One kernel per LAYER removes it, and the inter-sublayer
+# residual stays in fp32 VMEM (the split path rounds it through bf16 HBM).
+# All weights (4d^2 + 2dm) stay VMEM-resident: the round-2 "11 MB" budget
+# was Mosaic's default scoped-vmem limit, not hardware — v5e has 128 MB of
+# VMEM, unlocked via CompilerParams(vmem_limit_bytes). Measured v5e,
+# ViT-B/16 bs256: 5.09 -> 4.41 ms/layer (same-process A/B, fori_loop
+# timing). images_per_cell=1 and one layer per kernel are the measured
+# optima (mi=2/4 and 2/4/6-layer fusion are flat or worse).
+
+_MERGED_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _ln_f32_rows(xf, s_ref, b_ref, eps):
+    out = _norm_rows(xf, eps)
+    return out * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+
+def _norm_rows(xf, eps):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps)
+
+
+def fold_ln_into_weights(ln_scale, ln_bias, w, b):
+    """Fold a pre-matmul LayerNorm's affine into the matmul:
+    (norm(x) * s + lb) @ W + b == norm(x) @ (s[:, None] * W) + (lb @ W + b).
+    Saves a full FMA sweep over the activations per LN inside the kernel
+    (the per-row mean/var normalization is not foldable). Computed in f32,
+    cast back to the weights' dtype."""
+    sf = ln_scale.astype(jnp.float32)
+    bf = ln_bias.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    w2 = (sf[:, None] * wf).astype(w.dtype)
+    b2 = (bf @ wf + b.astype(jnp.float32)).astype(b.dtype)
+    return w2, b2
+
+
+def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
+                  folded: bool = False):
+    """Full pre-LN transformer layer (attn sublayer + MLP sublayer) for one
+    image per grid cell. ``mode``:
+    - 'plain':     x + Proj(MHSA(LN1(x)));            + MLP path
+    - 'masked':    ResidualViT masked-LN semantics (mask * LN, masked attn
+                   output; reference residualvit.py:249-260)
+    - 'keymasked': padded-RankViT true key exclusion (additive -inf keys)
+    ``folded``: the LN affines are pre-folded into wqkv/bqkv and w1/b1
+    (fold_ln_into_weights) — no lns/lnb refs, normalization only.
+    """
+    m_ref = None
+    if folded:
+        if mode == "plain":
+            (wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
+        else:
+            (m_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
+        lns1 = lnb1 = lns2 = lnb2 = None
+    elif mode == "plain":
+        (lns1, lnb1, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+         lns2, lnb2, w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
+    else:
+        (m_ref, lns1, lnb1, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+         lns2, lnb2, w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
+    mi, n, d = x_ref.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
+    xf = x.astype(jnp.float32)
+
+    mask = kmask = None
+    if mode == "masked":
+        mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    elif mode == "keymasked":
+        kmask = m_ref[...].reshape(mi, n)
+
+    ln = _norm_rows(xf, eps) if folded else _ln_f32_rows(xf, lns1, lnb1, eps)
+    if mask is not None:
+        ln = ln * mask
+    ln = ln.astype(x.dtype)
+
+    qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    attn_cols = []
+    for h in range(num_heads):  # static unroll
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        outs = []
+        for j in range(mi):  # per-image scores (no cross-image attention)
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            km = kmask[j] if kmask is not None else None
+            outs.append(
+                _attn_scores_pv(qj, kj, vj, scale, kmask=km).astype(x.dtype))
+        attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(attn_cols, axis=-1)
+
+    out = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    out = out + bo_ref[0].astype(jnp.float32)
+    if mask is not None:
+        out = out * mask
+    y = out + xf  # fp32 residual — never rounds through bf16 HBM
+
+    ln2 = _norm_rows(y, eps) if folded else _ln_f32_rows(y, lns2, lnb2, eps)
+    if mask is not None:
+        ln2 = ln2 * mask
+    h2 = jnp.dot(ln2.astype(x.dtype), w1_ref[...],
+                 preferred_element_type=jnp.float32)
+    h2 = jax.nn.gelu(h2 + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
+    out2 = jnp.dot(h2, w2_ref[...], preferred_element_type=jnp.float32)
+    out2 = out2 + b2_ref[0].astype(jnp.float32) + y
+    o_ref[...] = out2.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+def _merged_call(x, extra, extra_spec, weights, num_heads, eps, mode,
+                 interpret, mi, folded=False):
+    b, n, d = x.shape
+    m = weights[4 if folded else 8].shape[-1]  # w1
+    full = lambda shape: pl.BlockSpec(  # noqa: E731 — weights resident
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if folded:
+        wspecs = [full((d, 3 * d)), full((1, 3 * d)), full((d, d)),
+                  full((1, d)), full((d, m)), full((1, m)), full((m, d)),
+                  full((1, d))]
+    else:
+        wspecs = [full((1, d)), full((1, d)), full((d, 3 * d)),
+                  full((1, 3 * d)), full((d, d)), full((1, d)), full((1, d)),
+                  full((1, d)), full((d, m)), full((1, m)), full((m, d)),
+                  full((1, d))]
+    in_specs = [io] + ([extra_spec] if extra is not None else []) + wspecs
+    args = (x,) + ((extra,) if extra is not None else ()) + tuple(weights)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel, num_heads=num_heads, eps=eps,
+                          mode=mode, folded=folded),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b // mi,),
+        in_specs=in_specs,
+        out_specs=io,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MERGED_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (4 * d * d + 2 * n * d + 2 * d * m),
+            bytes_accessed=(2 * b * n * d
+                            + (4 * d * d + 2 * d * m)) * x.dtype.itemsize,
+            transcendentals=b * num_heads * n * n + b * n * m,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                        ln2s, ln2b, w1, b1, w2, b2, d, m):
+    return (ln1s.reshape(1, d), ln1b.reshape(1, d), w_qkv,
+            b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d),
+            ln2s.reshape(1, d), ln2b.reshape(1, d), w1, b1.reshape(1, m),
+            w2, b2.reshape(1, d))
+
+
+@functools.partial(jax.jit, static_argnums=(13, 14, 15, 16))
+def fused_layer_block(x, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                      ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
+                      eps: float = 1e-5, interpret: bool = False,
+                      images_per_cell: int = 1):
+    """Merged transformer layer: x + Proj(MHSA(LN1(x))), then + MLP(LN2(.)).
+    One Pallas kernel per layer — see the module comment for the rationale.
+    x: (B, N, D)."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                            ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
+    return _merged_call(x, None, None, w, num_heads, eps, "plain",
+                        interpret, mi)
+
+
+@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
+def masked_layer_block(x, mask, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                       ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
+                       eps: float = 1e-6, interpret: bool = False,
+                       images_per_cell: int = 1):
+    """Merged ResidualViT layer (mask * LN trick on both sublayers, masked
+    attention output — reference residualvit.py:249-260). mask: (B, N, 1)."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                            ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
+    return _merged_call(x, mask, iom, w, num_heads, eps, "masked",
+                        interpret, mi)
+
+
+@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
+def keymasked_layer_block(x, key_mask, ln1s, ln1b, w_qkv, b_qkv, w_out,
+                          b_out, ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
+                          eps: float = 1e-5, interpret: bool = False,
+                          images_per_cell: int = 1):
+    """Merged layer with TRUE key exclusion in attention (padded RankViT
+    semantics). key_mask: (B, 1, N), 1 = attend, 0 = exclude."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    iok = pl.BlockSpec((mi, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                            ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
+    return _merged_call(x, key_mask, iok, w, num_heads, eps, "keymasked",
+                        interpret, mi)
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
+def fused_layer_block_folded(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+                             num_heads: int, eps: float = 1e-5,
+                             interpret: bool = False,
+                             images_per_cell: int = 1):
+    """Merged layer with the LN affines pre-folded into wqkv/bqkv and w1/b1
+    (fold_ln_into_weights): two FMA sweeps fewer per layer."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    m = w1.shape[-1]
+    w = (w_qkv, b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d),
+         w1, b1.reshape(1, m), w2, b2.reshape(1, d))
+    return _merged_call(x, None, None, w, num_heads, eps, "plain",
+                        interpret, mi, folded=True)
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+def keymasked_layer_block_folded(x, key_mask, w_qkv, b_qkv, w_out, b_out,
+                                 w1, b1, w2, b2, num_heads: int,
+                                 eps: float = 1e-5, interpret: bool = False,
+                                 images_per_cell: int = 1):
+    """Key-exclusion merged layer with pre-folded LN affines (the key mask
+    only gates attention scores, so folding stays exact)."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    m = w1.shape[-1]
+    iok = pl.BlockSpec((mi, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w = (w_qkv, b_qkv.reshape(1, 3 * d), w_out, b_out.reshape(1, d),
+         w1, b1.reshape(1, m), w2, b2.reshape(1, d))
+    return _merged_call(x, key_mask, iok, w, num_heads, eps, "keymasked",
+                        interpret, mi, folded=True)
