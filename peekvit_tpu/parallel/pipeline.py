@@ -11,6 +11,15 @@ host round trips.
 
 The forward is mathematically identical to running the stages back to
 back (parity-tested on the virtual CPU mesh in tests/test_parallel.py).
+
+Training: the schedule is built from ``lax.scan`` + ``ppermute`` + slices
+only, all of which have exact transposes, so ``jax.grad`` straight through
+:func:`pipeline_forward` yields the GPipe backward (all microbatch
+forwards, then the reverse-scan backwards with gradients hopping
+stage-to-stage via the transposed ppermute). :func:`pipelined_vit_forward`
+lifts this to a full plain-ViT forward and is what the Trainer's
+``pipeline_stages=`` mode differentiates (grad/param parity vs the
+single-device Trainer is pinned in tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -23,6 +32,15 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 STAGE_AXIS = "stage"
+
+
+def _ln(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return ((out * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+            .astype(x.dtype))
 
 
 def stack_stage_params(per_stage_params):
@@ -103,18 +121,95 @@ def pipeline_forward(
 
         (_, out_buf), _ = jax.lax.scan(
             step, (act0, out_buf), jnp.arange(ticks))
-        # replicate the last stage's outputs to every stage so the result
-        # leaves shard_map unsharded (psum of one-hot contribution)
-        contrib = jnp.where(s_idx == s_total - 1, out_buf,
-                            jnp.zeros_like(out_buf))
-        return jax.lax.psum(contrib, axis)
+        # every stage contributes its buffer; only the LAST stage's slice is
+        # read outside. Stacking (out_specs over a fresh leading stage axis)
+        # instead of psum-replicating keeps the transpose exact under
+        # jax.grad (slice <-> pad), which the pipelined TRAINING path relies
+        # on; the outside slice is replicated by jit on demand.
+        return out_buf[None]
 
     fn = shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(axis), P()),
-        out_specs=P(),
+        out_specs=P(axis),
         check_rep=False,
     )
-    out = fn(stage_params, xs)
+    out = fn(stage_params, xs)[s_total - 1]
     return out.reshape(b, *out.shape[2:])
+
+
+# --------------------------------------------------- ViT-level pipelining
+
+
+def vit_block_forward(p, x, num_heads: int, ln_eps: float = 1e-5):
+    """Pure-fn pre-LN ViT block from a standard encoder-layer param subtree
+    (models/vit.py ViTBlock numerics: attention_core + exact-erf gelu;
+    deterministic — the pipelined train path requires dropout=0)."""
+    from peekvit_tpu.ops.attention import attention_core
+
+    at = p["self_attention"]
+    d = x.shape[-1]
+    y = _ln(x, p["ln_1"]["scale"], p["ln_1"]["bias"], ln_eps)
+    qkv = y @ at["in_proj_kernel"] + at["in_proj_bias"]
+    y = attention_core(qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:],
+                       num_heads)
+    x = x + (y @ at["out_proj_kernel"] + at["out_proj_bias"])
+    z = _ln(x, p["ln_2"]["scale"], p["ln_2"]["bias"], ln_eps)
+    z = jax.nn.gelu(z @ p["mlp"]["fc1_kernel"] + p["mlp"]["fc1_bias"],
+                    approximate=False)
+    return x + (z @ p["mlp"]["fc2_kernel"] + p["mlp"]["fc2_bias"])
+
+
+def stack_vit_stage_params(params, num_stages: int):
+    """Standard ViT param tree -> encoder block params stacked with leading
+    (num_stages, layers_per_stage) axes (contiguous layer groups). Stacking
+    happens inside jit: the source tree is replicated, so sharding the
+    result over the stage axis is a local slice, not communication."""
+    enc = params["encoder"]
+    ids = sorted(int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
+    n_layers = len(ids)
+    if n_layers % num_stages:
+        raise ValueError(
+            f"{n_layers} encoder layers not divisible into "
+            f"{num_stages} pipeline stages")
+    lps = n_layers // num_stages
+    stages = []
+    for s in range(num_stages):
+        group = [enc[f"layers_{ids[s * lps + j]}"] for j in range(lps)]
+        stages.append(jax.tree.map(lambda *ls: jnp.stack(ls), *group))
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *stages)
+
+
+def pipelined_vit_forward(params, images, *, mesh: Mesh,
+                          num_microbatches: int, num_heads: int,
+                          patch_size: int, num_class_tokens: int = 1,
+                          num_registers: int = 0, ln_eps: float = 1e-5,
+                          axis: str = STAGE_AXIS) -> jax.Array:
+    """Full plain-ViT eval/train forward with the encoder block stack
+    pipelined over the mesh's ``axis``.
+
+    Embed / pos-emb / final LN / classifier run replicated (their FLOPs are
+    negligible next to the blocks); each device holds only its stage's
+    block params after the first step's local slice. Differentiable end to
+    end — this is the Trainer's ``pipeline_stages=`` forward.
+    """
+    from peekvit_tpu.inference import _classify, _embed
+
+    cast = lambda t: t.astype(jnp.float32)  # noqa: E731
+    tokens, _ = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
+    tokens = tokens + cast(params["encoder"]["pos_embedding"])
+    num_stages = mesh.shape[axis]
+    stage_params = stack_vit_stage_params(params, num_stages)
+
+    def stage_fn(p, act):
+        lps = jax.tree.leaves(p)[0].shape[0]
+        for j in range(lps):  # static unroll over this stage's layers
+            act = vit_block_forward(
+                jax.tree.map(lambda leaf: leaf[j], p), act, num_heads, ln_eps)
+        return act
+
+    out = pipeline_forward(stage_fn, stage_params, tokens, mesh=mesh,
+                           num_microbatches=num_microbatches, axis=axis)
+    return _classify(params, out, num_class_tokens, cast, ln_eps)

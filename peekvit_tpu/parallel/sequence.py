@@ -75,3 +75,109 @@ def sequence_parallel_vit_block(
         check_rep=False,
     )
     return fn(params, tokens)
+
+
+def sequence_parallel_vit_forward(
+    params,
+    images: jax.Array,
+    *,
+    num_heads: int,
+    patch_size: int,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    num_class_tokens: int = 1,
+    num_registers: int = 0,
+    ln_eps: float = 1e-5,
+    rankvit_layers=(),
+    budget=None,
+) -> jax.Array:
+    """Full ViT / RankViT forward with the TOKEN axis sharded over ``axis``
+    (model-level Megatron-SP, lifting :func:`sequence_parallel_vit_block`
+    to the whole encoder — reference semantics models/vit.py:224-248).
+
+    - Embed / pos-emb run replicated (tiny next to the blocks); the token
+      sequence is zero-padded to a multiple of the axis size, and padded
+      positions are excluded as attention KEYS for every layer, so padding
+      never changes the math.
+    - RankViT composes with the sharding: ranked layers compute their
+      token norms locally, all-gather the (B, N) norm vector (tiny), and
+      update the GLOBAL alive mask exactly like the linen ``_rank_update``
+      (models/rankvit.py:39-48) — the resulting key mask spans shards.
+    - Per block the only cross-token communication is the K/V all-gather;
+      LN / projections / MLP / gelu stay token-local. Differentiable end
+      to end (all_gather transposes to reduce-scatter), so the Trainer's
+      ``sequence_parallel_devices=`` mode trains through it.
+
+    Returns logits, matching the linen forward (parity-tested in
+    tests/test_parallel.py).
+    """
+    import numpy as np
+
+    from peekvit_tpu.inference import _classify, _embed, _layer_ids
+    from peekvit_tpu.ops.attention import attention_core
+
+    cast = lambda t: t.astype(jnp.float32)  # noqa: E731
+    tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+    b, n, _ = tokens.shape
+    s = mesh.shape[axis]
+    n_pad = -(-n // s) * s
+    tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n), (0, 0)))
+    pad_valid = (np.arange(n_pad) < n).astype(np.float32)  # static
+    c = num_class_tokens
+    layer_ids = _layer_ids(enc)
+    ranked = tuple(rankvit_layers or ())
+    rank_on = budget is not None and ranked
+
+    def body(p, t, *bud):
+        # t: (B, n_pad/s, D) local token shard; alive: GLOBAL (B, n_pad-c)
+        alive = jnp.broadcast_to(jnp.asarray(pad_valid[c:], jnp.float32),
+                                 (b, n_pad - c))
+        for i in layer_ids:
+            lp = p[f"layers_{i}"]
+            if rank_on and i in ranked:
+                norms_local = jnp.linalg.norm(t.astype(jnp.float32), axis=-1)
+                norms = jax.lax.all_gather(norms_local, axis, axis=1,
+                                           tiled=True)  # (B, n_pad) global
+                img_norms = norms[:, c:]
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+                img_norms = jnp.where(alive > 0, img_norms, neg)
+                order = jnp.argsort(-img_norms, axis=-1, stable=True)
+                ranks = jnp.argsort(order, axis=-1)
+                alive_count = jnp.sum(alive, axis=-1, keepdims=True)
+                n_keep = jnp.ceil(alive_count
+                                  * jnp.asarray(bud[0], jnp.float32))
+                alive = ((ranks < n_keep) & (alive > 0)).astype(jnp.float32)
+            if rank_on:
+                key_mask = jnp.concatenate(
+                    [jnp.ones((b, c), jnp.float32), alive], axis=1)
+            else:
+                key_mask = jnp.broadcast_to(
+                    jnp.asarray(pad_valid, jnp.float32), (b, n_pad))
+
+            at = lp["self_attention"]
+            y = _ln(t, lp["ln_1"]["scale"], lp["ln_1"]["bias"], ln_eps)
+            qkv = y @ at["in_proj_kernel"] + at["in_proj_bias"]
+            q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+            k = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+            y = attention_core(q, k, v, num_heads, key_mask=key_mask)
+            t = t + (y @ at["out_proj_kernel"] + at["out_proj_bias"])
+            z = _ln(t, lp["ln_2"]["scale"], lp["ln_2"]["bias"], ln_eps)
+            z = jax.nn.gelu(z @ lp["mlp"]["fc1_kernel"]
+                            + lp["mlp"]["fc1_bias"], approximate=False)
+            t = t + (z @ lp["mlp"]["fc2_kernel"] + lp["mlp"]["fc2_bias"])
+        return t
+
+    bud_args = () if budget is None else (jnp.asarray(budget, jnp.float32),)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None)) + ((P(),) if bud_args else ()),
+        out_specs=P(None, axis, None),
+        check_rep=False,
+    )
+    out = fn(enc, tokens, *bud_args)
+    return _classify(params, out[:, :n], num_class_tokens, cast, ln_eps)

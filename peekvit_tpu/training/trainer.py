@@ -73,6 +73,17 @@ class Trainer:
     # fused Pallas train path (training/fused.py): 'auto' uses it for plain
     # ViTs with no dropout/noise/regularizers on the TPU backend
     fused: Any = "auto"
+    # flush per-batch log records every N steps: metrics stay on device
+    # between flushes (ONE host fetch per flush — through the axon tunnel a
+    # blocking fetch per batch stalls the dispatch pipeline)
+    log_every: int = 50
+    # >1: pipeline the encoder blocks over a 'stage' mesh axis (GPipe
+    # microbatching, parallel/pipeline.py) — plain-ViT family, dropout=0
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0  # default: == pipeline_stages
+    # >1: shard the TOKEN axis over that many devices (Megatron-SP,
+    # parallel/sequence.py) — plain-ViT family, dropout=0
+    sequence_parallel_devices: int = 0
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -137,6 +148,10 @@ class Trainer:
         return self._fused_kind() is not None
 
     def _build_train_step(self):
+        if self.pipeline_stages and self.pipeline_stages > 1:
+            return self._build_pipeline_train_step()
+        if self.sequence_parallel_devices and self.sequence_parallel_devices > 1:
+            return self._build_sp_train_step()
         if self._fused_eligible():
             return self._build_fused_train_step()
         apply_fn = self.model.apply_fn()
@@ -189,6 +204,133 @@ class Trainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_pipeline_train_step(self):
+        """Pipeline-parallel train step: encoder blocks sharded into
+        ``pipeline_stages`` contiguous groups over a 'stage' mesh axis,
+        jax.grad through the GPipe ppermute schedule
+        (parallel/pipeline.pipelined_vit_forward). Param/grad parity vs the
+        single-device step is pinned in tests/test_parallel.py."""
+        import functools
+
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from peekvit_tpu.parallel.pipeline import (
+            STAGE_AXIS,
+            pipelined_vit_forward,
+        )
+
+        module = self._check_deterministic_parallel_model("pipeline_stages")
+        s = int(self.pipeline_stages)
+        if module.num_layers % s:
+            raise ValueError(
+                f"num_layers={module.num_layers} not divisible into "
+                f"{s} pipeline stages")
+
+        if self.mesh is not None and STAGE_AXIS in self.mesh.axis_names:
+            mesh = self.mesh
+        else:
+            devices = jax.devices()
+            if len(devices) < s:
+                raise ValueError(
+                    f"pipeline_stages={s} needs {s} devices, "
+                    f"have {len(devices)}")
+            mesh = Mesh(np.asarray(devices[:s]), (STAGE_AXIS,))
+        m = int(self.pipeline_microbatches) or s
+
+        criterion = self.main_criterion
+        tx = self.tx
+        fwd = functools.partial(
+            pipelined_vit_forward,
+            mesh=mesh, num_microbatches=m,
+            num_heads=module.num_heads, patch_size=module.patch_size,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            num_registers=getattr(module, "num_registers", 0),
+            ln_eps=getattr(module, "ln_eps", 1e-5),
+        )
+
+        def step(params, opt_state, x, y, budget, noise_value, step_idx):
+            def loss_fn(p):
+                ce = criterion(fwd(p, x), y)
+                return ce, {"classification_loss": ce, "total_loss": ce}
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _check_deterministic_parallel_model(self, what: str):
+        module = self.model.module
+        name = type(module).__name__
+        if name not in ("VisionTransformer", "RankVisionTransformer"):
+            raise NotImplementedError(
+                f"{what} applies to the plain-ViT family (uniform blocks), "
+                f"not {name}")
+        if (getattr(module, "dropout", 0.0) != 0.0
+                or getattr(module, "attention_dropout", 0.0) != 0.0
+                or getattr(module, "noise_layer", None) is not None):
+            raise NotImplementedError(
+                f"{what} training is deterministic: set dropout=0 and "
+                "no noise_layer")
+        if self.loss_compose and self.loss_compose.additional_losses:
+            raise NotImplementedError(
+                f"plain ViT emits no aux for regularizers under {what}")
+        return module
+
+    def _build_sp_train_step(self):
+        """Sequence-parallel train step: token axis sharded over a 'model'
+        mesh axis, jax.grad through the per-block K/V all-gather
+        (parallel/sequence.sequence_parallel_vit_forward). Parity vs the
+        single-device step is pinned in tests/test_parallel.py."""
+        import functools
+
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from peekvit_tpu.parallel.mesh import MODEL_AXIS
+        from peekvit_tpu.parallel.sequence import (
+            sequence_parallel_vit_forward,
+        )
+
+        module = self._check_deterministic_parallel_model(
+            "sequence_parallel_devices")
+        s = int(self.sequence_parallel_devices)
+        if self.mesh is not None and MODEL_AXIS in self.mesh.axis_names \
+                and self.mesh.shape[MODEL_AXIS] == s:
+            mesh = self.mesh
+        else:
+            devices = jax.devices()
+            if len(devices) < s:
+                raise ValueError(
+                    f"sequence_parallel_devices={s} needs {s} devices, "
+                    f"have {len(devices)}")
+            mesh = Mesh(np.asarray(devices[:s]), (MODEL_AXIS,))
+
+        criterion = self.main_criterion
+        tx = self.tx
+        fwd = functools.partial(
+            sequence_parallel_vit_forward,
+            mesh=mesh, num_heads=module.num_heads,
+            patch_size=module.patch_size,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            num_registers=getattr(module, "num_registers", 0),
+            ln_eps=getattr(module, "ln_eps", 1e-5),
+        )
+
+        def step(params, opt_state, x, y, budget, noise_value, step_idx):
+            def loss_fn(p):
+                ce = criterion(fwd(p, x), y)
+                return ce, {"classification_loss": ce, "total_loss": ce}
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, metrics
 
         return jax.jit(step, donate_argnums=(0, 1))
 
@@ -328,14 +470,24 @@ class Trainer:
         steps_per_epoch = len(loader) if hasattr(loader, "__len__") else 0
         count = 0
         running = None  # device-side metric sums: no per-batch host fetch
+        pending = []  # buffered per-batch device metrics awaiting a flush
+
+        def flush():
+            if logger is None or not pending:
+                pending.clear()
+                return
+            for rec in _fetch_metric_records(pending):  # ONE host fetch
+                logger.log({f"{log_prefix}{k}": v for k, v in rec.items()})
+            pending.clear()
+
         for i, (x, y) in enumerate(self._device_batches(loader)):
             step_idx = epoch * max(steps_per_epoch, 1) + i
             metrics = self.train_step(x, y, budget=budget,
                                       noise_value=noise_value, step_idx=step_idx)
             if logger is not None:
-                logger.log(
-                    {f"{log_prefix}{k}": v for k, v in _to_float(metrics).items()}
-                )
+                pending.append(metrics)
+                if len(pending) >= max(self.log_every, 1):
+                    flush()
             if running is None:
                 running = {k: jnp.asarray(v, jnp.float32)
                            for k, v in metrics.items()}
@@ -343,6 +495,7 @@ class Trainer:
                 running = {k: running[k] + jnp.asarray(metrics[k], jnp.float32)
                            for k in running}
             count += 1
+        flush()
         # epoch summary = MEAN over batches (not the last batch's sample)
         sums: Dict[str, float] = (
             {} if running is None
@@ -355,16 +508,19 @@ class Trainer:
         return sums
 
     def validate(self, loader, budget=None, noise_value=None):
-        """Accuracy + mean loss over a loader (reference train.py:129-145)."""
-        total, correct, loss_sum, batches = 0, 0, 0.0, 0
+        """Accuracy + mean loss over a loader (reference train.py:129-145).
+        Per-batch results accumulate on device; ONE host fetch at the end."""
+        total, batches = 0, 0
+        correct = jnp.int32(0)
+        loss_sum = jnp.float32(0.0)
         for x, y in self._device_batches(loader):
             c, l, _ = self.eval_step(x, y, budget=budget, noise_value=noise_value)
-            correct += int(c)
-            loss_sum += float(l)
+            correct = correct + c
+            loss_sum = loss_sum + l
             total += int(y.shape[0])
             batches += 1
-        acc = correct / max(total, 1)
-        return acc, loss_sum / max(batches, 1)
+        acc = int(correct) / max(total, 1)
+        return acc, float(loss_sum) / max(batches, 1)
 
     def _device_batches(self, loader):
         from peekvit_tpu.data.loader import prefetch_to_device
@@ -379,3 +535,16 @@ class Trainer:
 
 def _to_float(metrics: Dict[str, Any]) -> Dict[str, float]:
     return {k: float(v) for k, v in metrics.items()}
+
+
+def _fetch_metric_records(pending) -> list:
+    """Materialize buffered per-batch metric dicts with ONE device->host
+    transfer (stack to a single (batches, keys) array). Module-level so
+    tests can count fetches (tests/test_train_entry.py)."""
+    import numpy as np
+
+    keys = list(pending[0].keys())
+    mat = np.asarray(jnp.stack(
+        [jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])
+         for m in pending]))
+    return [dict(zip(keys, map(float, row))) for row in mat]

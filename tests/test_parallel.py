@@ -246,3 +246,179 @@ def test_sequence_parallel_block_matches_unsharded():
     got = sequence_parallel_vit_block(variables["params"], x, h, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------ pipelined ViT training
+
+
+def _pp_model(seed=11, num_layers=4):
+    return build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=num_layers, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10),
+        seed=seed,
+    )
+
+
+def test_pipelined_vit_forward_matches_linen():
+    """pipelined_vit_forward == the linen ViT forward (4 stages x 1 layer,
+    4 microbatches) — full model, not just a block stack."""
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.parallel.pipeline import pipelined_vit_forward
+
+    model = _pp_model()
+    x, _ = _data(8)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    got = pipelined_vit_forward(
+        model.params, x, mesh=mesh, num_microbatches=4, num_heads=2,
+        patch_size=8)
+    want, _ = model.apply_fn()(model.params, x, None, None, {}, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_grads_match_single_device():
+    """jax.grad through the GPipe schedule == the single-device grads
+    (the ppermute/scan/slice schedule has exact transposes; measured
+    bitwise-identical un-jitted, asserted here to fp32 fusion noise)."""
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.parallel.pipeline import pipelined_vit_forward
+
+    model = _pp_model()
+    x, y = _data(8)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    apply_fn = model.apply_fn()
+
+    def ce(logits):
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], 1))
+
+    g_pp = jax.grad(lambda p: ce(pipelined_vit_forward(
+        p, x, mesh=mesh, num_microbatches=4, num_heads=2, patch_size=8
+    )))(model.params)
+    g_sd = jax.grad(lambda p: ce(
+        apply_fn(p, x, None, None, {}, train=True)[0]))(model.params)
+    for a, b in zip(jax.tree.leaves(g_sd), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_train_step_matches_single_device():
+    """Three pipelined train steps == three single-device steps (params to
+    1e-4). SGD keeps the comparison honest: Adam's g/sqrt(v) normalization
+    amplifies fp32 fusion noise on near-zero grads into ~lr-sized param
+    deltas even for mathematically identical backwards (grads themselves
+    are compared in test_pipeline_grads_match_single_device)."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    t_single = Trainer(model=_pp_model(), optimizer=SGD(lr=0.05),
+                       fused=False)
+    t_pp = Trainer(model=_pp_model(), optimizer=SGD(lr=0.05), fused=False,
+                   pipeline_stages=4, pipeline_microbatches=4)
+    for i in range(3):
+        m_s = t_single.train_step(x, y, step_idx=i)
+        m_p = t_pp.train_step(x, y, step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_pp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_rejects_dropout_and_bad_stage_count():
+    m = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=4, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10, dropout=0.1),
+    )
+    t = Trainer(model=m, optimizer=Adam(lr=1e-2), pipeline_stages=4)
+    with pytest.raises(NotImplementedError, match="deterministic"):
+        t.train_step(*_data(8))
+
+    t2 = Trainer(model=_pp_model(num_layers=4), optimizer=Adam(lr=1e-2),
+                 pipeline_stages=3)
+    with pytest.raises(ValueError, match="divisible"):
+        t2.train_step(*_data(9))
+
+
+def test_mesh_engine_rejects_indivisible_batch():
+    """InferenceEngine(mesh=) raises a clear ValueError when the batch does
+    not divide the data axis (VERDICT r2 #8) instead of a shard_map error."""
+    from peekvit_tpu.inference import InferenceEngine
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    engine = InferenceEngine(_model(), mesh=mesh)
+    x = jnp.zeros((6, 16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        engine(x)
+
+
+# ------------------------------------------- model-level sequence parallel
+
+
+def test_sp_vit_forward_matches_linen():
+    """Full-model SP forward (token axis sharded over 8 devices, N=5 padded
+    to 8) == the linen ViT forward."""
+    from peekvit_tpu.parallel.sequence import sequence_parallel_vit_forward
+
+    model = _model()
+    x, _ = _data(4)
+    mesh = make_mesh(n_data=1, n_model=8)
+    got = sequence_parallel_vit_forward(
+        model.params, x, num_heads=2, patch_size=8, mesh=mesh)
+    want, _ = model.apply_fn()(model.params, x, None, None, {}, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sp_rankvit_forward_matches_linen():
+    """SP + RankViT: the global norm ranking (all-gathered norms) must
+    reproduce the linen mask cascade across sharded tokens, at several
+    budgets — the framework's core gating feature working sharded."""
+    from peekvit_tpu.parallel.sequence import sequence_parallel_vit_forward
+
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             rankvit_layers=[1, 2]),
+        seed=3,
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    mesh = make_mesh(n_data=1, n_model=8)
+    apply_fn = model.apply_fn()
+    for budget in (1.0, 0.6, 0.3):
+        got = sequence_parallel_vit_forward(
+            model.params, x, num_heads=2, patch_size=8, mesh=mesh,
+            rankvit_layers=(1, 2), budget=budget)
+        want, _ = apply_fn(model.params, x, jnp.float32(budget), None, {},
+                           train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sp_train_step_matches_single_device():
+    """Sequence-parallel training (grad through the K/V all-gather) ==
+    single-device training."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    t_single = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=False)
+    t_sp = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=False,
+                   sequence_parallel_devices=8)
+    for i in range(2):
+        m_s = t_single.train_step(x, y, step_idx=i)
+        m_p = t_sp.train_step(x, y, step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_sp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)

@@ -127,7 +127,13 @@ def train(cfg) -> dict:
     optimizer = instantiate(cfg.optimizer)
     scheduler = instantiate(cfg.get("scheduler"))
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    pipeline_stages = int(tr.get("pipeline_stages") or 0)
+    sp_devices = int(tr.get("sequence_parallel_devices") or 0)
+    # pipeline/SP modes own the device layout (a dedicated mesh axis built
+    # by the Trainer); otherwise default to data parallelism over every chip
+    mesh = (make_mesh()
+            if len(jax.devices()) > 1 and pipeline_stages <= 1
+            and sp_devices <= 1 else None)
     trainer = Trainer(
         model=model,
         optimizer=optimizer,
@@ -139,6 +145,9 @@ def train(cfg) -> dict:
         seed=cfg.seed,
         mesh=mesh,
         fused=tr.get("fused", "auto"),
+        pipeline_stages=pipeline_stages,
+        pipeline_microbatches=int(tr.get("pipeline_microbatches") or 0),
+        sequence_parallel_devices=sp_devices,
     )
 
     train_budget = tr.get("train_budget")
