@@ -273,6 +273,166 @@ def collect_activation_caps(params, images, *, patch_size: int,
     return tuple(caps)
 
 
+def collect_residualvit_activation_stats(
+        params, images, budget=1.0, *, patch_size: int, num_heads: int,
+        num_class_tokens: int = 1, num_registers: int = 0,
+        gate_temp: float = 1.0, gate_bias: float = 0.0,
+        budget_token="learnable", percentile: float = 99.9):
+    """Calibration pass for the RESIDUAL w8a8 engine (VERDICT r2 #4):
+    mirrors residualvit_forward_fused's gate + masked-LN structure in fp32
+    and returns ``(caps, smoothing)`` — the percentile |activation| caps at
+    the four quantized sites per layer, and SmoothQuant per-channel
+    equalization vectors for the two LN-output sites. Calibrate at the
+    budget you serve (default 1.0 — masking only removes tokens, so
+    full-budget stats bound every sparser budget)."""
+    from peekvit_tpu.ops.attention import attention_core
+
+    cast = lambda t: t.astype(jnp.float32)  # noqa: E731
+    c = num_class_tokens
+    tokens, d = _embed(params, images, patch_size, c, num_registers, cast)
+    b = tokens.shape[0]
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    bcast = jnp.broadcast_to(jnp.asarray(budget, jnp.float32),
+                             (b,))[:, None, None]
+    if budget_token == "learnable":
+        btok = cast(params["learnable_budget_token_1"]) * bcast
+    elif budget_token == "learnable_interpolate":
+        btok = (cast(params["learnable_budget_token_1"]) * bcast
+                + cast(params["learnable_budget_token_2"]) * (1.0 - bcast))
+    else:
+        btok = jnp.broadcast_to(bcast, (b, 1, d))
+    tokens = jnp.concatenate([tokens, jnp.broadcast_to(btok, (b, 1, d))],
+                             axis=1)
+    s = c + num_registers
+
+    def pct(x):
+        return float(jnp.percentile(jnp.abs(x), percentile))
+
+    def ln(x, pr, eps):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * cast(pr["scale"]) \
+            + cast(pr["bias"])
+
+    caps = []
+    smoothing = []
+    for i in _layer_ids(enc):
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        img = tokens[:, s:-1]
+        gp = lp["residual_gate"]["projection"]
+        sig = jax.nn.sigmoid(
+            (img @ cast(gp["kernel"]) + cast(gp["bias"])) / gate_temp
+            + gate_bias)
+        if budget_token == "learnable":
+            bg = lp["budget_token_gate"]
+            thr = jax.nn.sigmoid(tokens[:, -1:] @ cast(bg["kernel"])
+                                 + cast(bg["bias"]))
+            mask = jax.nn.relu(sig - thr)
+        else:
+            mask = jax.nn.relu(sig - (1.0 - jnp.mean(tokens[:, -1:])))
+        ones = jnp.ones((b, 1, 1), jnp.float32)
+        fwd_mask = jnp.concatenate(
+            [jnp.ones((b, s, 1), jnp.float32), mask, ones], axis=1)
+        tokens = jnp.concatenate(
+            [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
+
+        ln1 = ln(tokens, lp["ln_1"], 1e-6) * fwd_mask
+        c_a1 = pct(ln1)
+        s1 = _smoothing_vec(ln1, at["in_proj_kernel"])
+        qkv = ln1 @ cast(at["in_proj_kernel"]) + cast(at["in_proj_bias"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = attention_core(q, k, v, num_heads)
+        c_a2 = pct(attn)
+        tokens = tokens + (attn @ cast(at["out_proj_kernel"])
+                           + cast(at["out_proj_bias"])) * fwd_mask
+        ln2 = ln(tokens, lp["ln_2"], 1e-6) * fwd_mask
+        c_m1 = pct(ln2)
+        s2 = _smoothing_vec(ln2, lp["mlp"]["fc1_kernel"])
+        h = jax.nn.gelu(ln2 @ cast(lp["mlp"]["fc1_kernel"])
+                        + cast(lp["mlp"]["fc1_bias"]))
+        c_m2 = pct(h)
+        tokens = tokens + h @ cast(lp["mlp"]["fc2_kernel"]) + cast(
+            lp["mlp"]["fc2_bias"])
+        caps.append(((c_a1, c_a2), (c_m1, c_m2)))
+        smoothing.append((s1, s2))
+    return tuple(caps), smoothing
+
+
+def compute_smoothing_vectors(params, images, *, patch_size: int,
+                              num_heads: int, num_class_tokens: int = 1,
+                              num_registers: int = 0, ln_eps: float = 1e-5,
+                              alpha: float = 0.5):
+    """SmoothQuant-style per-channel equalization vectors (PAPERS.md; the
+    standard fix for transformer OUTLIER CHANNELS under w8a8): for each
+    layer's two LN-output quantization sites, s_j = |act_j|max^alpha /
+    |W_j:|max^(1-alpha). Dividing the LN affine by s and multiplying the
+    following weight's rows by s is EXACT in fp and moves the outlier
+    magnitude from the (hard, per-token-quantized) activations into the
+    (easy, per-channel-quantized) weights."""
+    from peekvit_tpu.ops.attention import attention_core
+
+    cast = lambda t: t.astype(jnp.float32)  # noqa: E731
+    tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    def svec(act, w):
+        return _smoothing_vec(act, w, alpha)
+
+    smoothing = []
+    for i in _layer_ids(enc):
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        ln1 = _layer_norm(tokens, cast(lp["ln_1"]["scale"]),
+                          cast(lp["ln_1"]["bias"]), ln_eps)
+        s1 = svec(ln1, at["in_proj_kernel"])
+        qkv = ln1 @ cast(at["in_proj_kernel"]) + cast(at["in_proj_bias"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = attention_core(q, k, v, num_heads)
+        tokens = tokens + attn @ cast(at["out_proj_kernel"]) + cast(
+            at["out_proj_bias"])
+        ln2 = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                          cast(lp["ln_2"]["bias"]), ln_eps)
+        s2 = svec(ln2, lp["mlp"]["fc1_kernel"])
+        h = jax.nn.gelu(ln2 @ cast(lp["mlp"]["fc1_kernel"])
+                        + cast(lp["mlp"]["fc1_bias"]))
+        tokens = tokens + h @ cast(lp["mlp"]["fc2_kernel"]) + cast(
+            lp["mlp"]["fc2_bias"])
+        smoothing.append((s1, s2))
+    return smoothing
+
+
+def _smoothing_vec(act, w, alpha: float = 0.5):
+    a = jnp.max(jnp.abs(act.astype(jnp.float32).reshape(-1, act.shape[-1])),
+                axis=0)
+    wmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)
+    s = (jnp.maximum(a, 1e-5) ** alpha) / (jnp.maximum(wmax, 1e-5)
+                                           ** (1.0 - alpha))
+    return np.asarray(jnp.clip(s, 1e-2, 1e4), np.float32)
+
+
+def smooth_vit_params(params, smoothing):
+    """Bake equalization vectors into a COPY of the fp param tree:
+    ln.scale/bias /= s and W rows *= s — exact in fp (see
+    compute_smoothing_vectors); the quantizer then sees tame activations."""
+    params = jax.tree.map(lambda x: np.array(x, np.float32), params)
+    enc = params["encoder"]
+    for li, i in enumerate(_layer_ids(enc)):
+        lp = enc[f"layers_{i}"]
+        s1, s2 = smoothing[li]
+        lp["ln_1"]["scale"] /= s1
+        lp["ln_1"]["bias"] /= s1
+        lp["self_attention"]["in_proj_kernel"] *= s1[:, None]
+        lp["ln_2"]["scale"] /= s2
+        lp["ln_2"]["bias"] /= s2
+        lp["mlp"]["fc1_kernel"] *= s2[:, None]
+    return jax.tree.map(jnp.asarray, params)
+
+
 def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
@@ -285,6 +445,7 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
     from peekvit_tpu.ops.pallas.quant_blocks import (
         quant_attention_block,
         quant_attention_block_xla,
+        quant_layer_block,
         quant_mlp_block,
         quant_mlp_block_xla,
     )
@@ -294,6 +455,7 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                        num_registers, cast)
     enc = qparams["encoder"]
     mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
+    fuse_layer = _layer_fusable(d, mlp_dim, itemsize=1)
     fuse_attn = _attn_fusable(d, itemsize=1)
     fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
@@ -302,6 +464,17 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
         lp = enc[f"layers_{i}"]
         acaps = caps[li][0] if caps else None
         mcaps = caps[li][1] if caps else None
+        if fuse_layer:
+            tokens = quant_layer_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+                lp["wo_q"], lp["so"], cast(lp["bo"]),
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                lp["w1_q"], lp["s1"], cast(lp["b1"]),
+                lp["w2_q"], lp["s2"], cast(lp["b2"]),
+                num_heads, ln_eps, interpret, 1, caps[li] if caps else None,
+            )
+            continue
         if fuse_attn:
             tokens = quant_attention_block(
                 tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
@@ -485,6 +658,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     from peekvit_tpu.ops.pallas.quant_blocks import (
         quant_attention_block,
         quant_attention_block_xla,
+        quant_layer_block,
         quant_mlp_block,
         quant_mlp_block_xla,
     )
@@ -494,6 +668,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     tokens, d = _embed(qparams, images, patch_size, c, 0, cast)
     enc = qparams["encoder"]
     mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
+    fuse_layer = _layer_fusable(d, mlp_dim, itemsize=1)
     fuse_attn = _attn_fusable(d, itemsize=1)
     fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
@@ -510,6 +685,17 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
         lp = enc[f"layers_{i}"]
         acaps = caps[li][0] if caps else None
         mcaps = caps[li][1] if caps else None
+        if fuse_layer:
+            tokens = quant_layer_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+                lp["wo_q"], lp["so"], cast(lp["bo"]),
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                lp["w1_q"], lp["s1"], cast(lp["b1"]),
+                lp["w2_q"], lp["s2"], cast(lp["b2"]),
+                num_heads, ln_eps, interpret, 1, caps[li] if caps else None,
+            )
+            continue
         if fuse_attn:
             tokens = quant_attention_block(
                 tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
@@ -540,6 +726,207 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     return _classify(qparams, tokens, c, cast, ln_eps)
 
 
+def moevit_forward_fused(params, images, *, patch_size: int,
+                         num_heads: int, mlp_moes=None, attn_moes=None,
+                         num_layers: int = 0, ln_eps: float = 1e-5,
+                         compute_dtype=jnp.bfloat16,
+                         interpret: bool = False) -> jax.Array:
+    """Fused eval forward for VisionTransformerMoE (VERDICT r2 #5).
+
+    Single-expert sublayers run the merged folded Pallas layer (or the
+    split fused kernels when only one sublayer is standard); MoE sublayers
+    run the reference's DENSE top-1 combine (moevit.py:49-61,84-96) in XLA
+    — every expert computes, a one-hot argmax gate (eval GumbelSoftmax
+    semantics, ops/gates.py) selects via einsum 'ebsd,bse->bsd', which XLA
+    maps to batched MXU matmuls. Classifier reads token 0 only (the MoE
+    model's quirk, moevit.py:300-311)."""
+    from peekvit_tpu.ops.attention import attention_core
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        fold_ln_into_weights,
+        fused_attention_block,
+        fused_layer_block_folded,
+        fused_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        params["conv_proj"]["bias"])
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(cast(params["class_token"]), (b, 1, d))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+    mlp_moes = tuple(mlp_moes or (1,) * num_layers)
+    attn_moes = tuple(attn_moes or (1,) * num_layers)
+
+    def gate_probs(y, gp):
+        scores = y @ cast(gp["gate"]["kernel"]) + cast(gp["gate"]["bias"])
+        return jax.nn.one_hot(jnp.argmax(scores, axis=-1), scores.shape[-1],
+                              dtype=y.dtype)
+
+    fusable = _layer_fusable(d, _first_mlp_dim_moe(enc))
+    for li, i in enumerate(_layer_ids(enc)):
+        lp = enc[f"layers_{i}"]
+        at = lp["self_attention"]
+        mlp = lp["mlp"]
+        attn_single = attn_moes[li] == 1
+        mlp_single = mlp_moes[li] == 1
+        if attn_single and mlp_single and fusable:
+            a0, m0 = at["experts_0"], mlp["experts_0"]
+            wqkv, bqkv = fold_ln_into_weights(
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(a0["in_proj_kernel"]), cast(a0["in_proj_bias"]))
+            w1, b1 = fold_ln_into_weights(
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(m0["fc1_kernel"]), cast(m0["fc1_bias"]))
+            tokens = fused_layer_block_folded(
+                tokens, wqkv, bqkv,
+                cast(a0["out_proj_kernel"]), cast(a0["out_proj_bias"]),
+                w1, b1, cast(m0["fc2_kernel"]), cast(m0["fc2_bias"]),
+                num_heads, ln_eps, interpret)
+            continue
+        # ---- attention sublayer
+        if attn_single and fusable:
+            a0 = at["experts_0"]
+            tokens = fused_attention_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(a0["in_proj_kernel"]), cast(a0["in_proj_bias"]),
+                cast(a0["out_proj_kernel"]), cast(a0["out_proj_bias"]),
+                num_heads, ln_eps, interpret)
+        else:
+            y = _layer_norm(tokens, cast(lp["ln_1"]["scale"]),
+                            cast(lp["ln_1"]["bias"]), ln_eps)
+            if attn_single:
+                a0 = at["experts_0"]
+                qkv = y @ cast(a0["in_proj_kernel"]) + cast(a0["in_proj_bias"])
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                o = attention_core(q, k, v, num_heads)
+                tokens = tokens + (o @ cast(a0["out_proj_kernel"])
+                                   + cast(a0["out_proj_bias"]))
+            else:
+                probs = gate_probs(y, at["gating_network"])
+                ex = at["experts"]
+                outs = []
+                for e in range(attn_moes[li]):  # dense experts (reference)
+                    qkv = y @ cast(ex["in_proj_kernel"][e]) + cast(
+                        ex["in_proj_bias"][e])
+                    q, k, v = jnp.split(qkv, 3, axis=-1)
+                    o = attention_core(q, k, v, num_heads)
+                    outs.append(o @ cast(ex["out_proj_kernel"][e])
+                                + cast(ex["out_proj_bias"][e]))
+                combined = jnp.einsum("ebsd,bse->bsd", jnp.stack(outs), probs)
+                tokens = tokens + combined
+        # ---- MLP sublayer
+        if mlp_single and fusable:
+            m0 = mlp["experts_0"]
+            tokens = fused_mlp_block(
+                tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(m0["fc1_kernel"]), cast(m0["fc1_bias"]),
+                cast(m0["fc2_kernel"]), cast(m0["fc2_bias"]),
+                ln_eps, interpret)
+        else:
+            z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                            cast(lp["ln_2"]["bias"]), ln_eps)
+            if mlp_single:
+                m0 = mlp["experts_0"]
+                h = jax.nn.gelu(z @ cast(m0["fc1_kernel"])
+                                + cast(m0["fc1_bias"]), approximate=False)
+                tokens = tokens + (h @ cast(m0["fc2_kernel"])
+                                   + cast(m0["fc2_bias"]))
+            else:
+                probs = gate_probs(z, mlp["gating_network"])
+                ex = mlp["experts"]
+                h = jax.nn.gelu(
+                    jnp.einsum("bnd,edm->ebnm", z, cast(ex["fc1_kernel"]))
+                    + cast(ex["fc1_bias"])[:, None, None, :],
+                    approximate=False)
+                outs = jnp.einsum("ebnm,emd->ebnd", h, cast(ex["fc2_kernel"])
+                                  ) + cast(ex["fc2_bias"])[:, None, None, :]
+                tokens = tokens + jnp.einsum("ebsd,bse->bsd", outs, probs)
+
+    # final LN on token 0 only, then head (moevit classifier quirk)
+    cls = _layer_norm(tokens[:, :1], cast(enc["ln"]["scale"]),
+                      cast(enc["ln"]["bias"]), ln_eps)[:, 0]
+    logits = cls @ cast(params["head"]["kernel"]) + cast(
+        params["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
+def _first_mlp_dim_moe(enc) -> int:
+    lp = enc[f"layers_{_layer_ids(enc)[0]}"]["mlp"]
+    if "experts_0" in lp:
+        return lp["experts_0"]["fc1_kernel"].shape[-1]
+    return lp["experts"]["fc1_kernel"].shape[-1]
+
+
+def adavit_forward_fused(params, images, *, patch_size: int,
+                         num_heads: int, num_layers: int,
+                         num_class_tokens: int = 1, num_registers: int = 0,
+                         act_eps: float = 0.01, gate_scale: float = 10.0,
+                         gate_center: float = 30.0, ln_eps: float = 1e-5,
+                         compute_dtype=jnp.bfloat16,
+                         interpret: bool = False) -> jax.Array:
+    """Fused eval forward for A-ViT (VERDICT r2 #5): the ACT carry algebra
+    (cumulative halting c, remainder R, active mask — reference
+    adavit.py:140-219 as modeled in models/adavit.py) runs in XLA on (B, N)
+    state while each layer's block executes as ONE merged Pallas kernel
+    with the A-ViT LN(x*a)*a masking (avit_layer_block). The scan-stacked
+    block params (leading layer axis) are sliced per layer — a static
+    unroll, matching the linen nn.scan numerics."""
+    from peekvit_tpu.ops.pallas.fused_attention import avit_layer_block
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                       num_registers, cast)
+    enc = params["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+    bp = enc["blocks"]["block"]  # leading (num_layers, ...) axis
+    b, n, _ = tokens.shape
+    f32 = jnp.float32
+
+    out = tokens
+    output = jnp.zeros_like(tokens)
+    c = jnp.zeros((b, n), f32)
+    R = jnp.ones((b, n), f32)
+    active = jnp.ones((b, n), f32)
+
+    for l in range(num_layers):
+        lw = jax.tree.map(lambda leaf: leaf[l], bp)
+        at = lw["self_attention"]
+        a3 = active[..., None]
+        x_in = out * a3.astype(out.dtype)
+        x_new = avit_layer_block(
+            x_in, a3.astype(compute_dtype),
+            cast(lw["ln_1"]["scale"]), cast(lw["ln_1"]["bias"]),
+            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+            cast(lw["ln_2"]["scale"]), cast(lw["ln_2"]["bias"]),
+            cast(lw["mlp"]["fc1_kernel"]), cast(lw["mlp"]["fc1_bias"]),
+            cast(lw["mlp"]["fc2_kernel"]), cast(lw["mlp"]["fc2_bias"]),
+            num_heads, ln_eps, interpret,
+        )
+        h = jax.nn.sigmoid(x_new[:, :, 0].astype(f32) * gate_scale
+                           - gate_center)
+        if l == num_layers - 1:  # every remaining token halts
+            h = jnp.ones_like(h)
+        block_out = x_new * a3.astype(out.dtype)
+        c = c + h
+        reached = ((c > 1.0 - act_eps).astype(f32)) * active
+        delta1 = block_out * (R * reached)[..., None].astype(out.dtype)
+        not_reached = (c < 1.0 - act_eps).astype(f32)
+        R = R - not_reached * h
+        delta2 = block_out * (h * not_reached)[..., None].astype(out.dtype)
+        active = not_reached
+        output = output + delta1 + delta2
+        out = x_new
+
+    return _classify({"encoder": enc, "head": params["head"]}, output,
+                     num_class_tokens, cast, ln_eps)
+
+
 def quantize_residualvit_params(params):
     """Residual variant of quantize_vit_params: gate projections,
     budget-token params and LNs stay fp; the four big mats go int8."""
@@ -563,13 +950,17 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                               budget_token: Any = "learnable",
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = False,
-                              pmean_axis: Optional[str] = None) -> jax.Array:
+                              pmean_axis: Optional[str] = None,
+                              caps=None) -> jax.Array:
     """int8 (w8a8) ResidualViT eval forward — the gated model's quantized
     serving path; gate math identical to residualvit_forward_fused.
-    Over-VMEM-budget layers fall back to the XLA w8a8 masked path."""
+    Over-VMEM-budget layers fall back to the XLA w8a8 masked path.
+    ``caps``: optional static percentile calibration from
+    collect_residualvit_activation_stats (same layout as the plain engine's)."""
     from peekvit_tpu.ops.pallas.quant_blocks import (
         quant_attention_block_xla,
         quant_masked_attention_block,
+        quant_masked_layer_block,
         quant_masked_mlp_block,
         quant_mlp_block_xla,
     )
@@ -580,6 +971,7 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
     b = tokens.shape[0]
     enc = qparams["encoder"]
     mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
+    fuse_layer = _layer_fusable(d, mlp_dim, itemsize=1)
     fuse_attn = _attn_fusable(d, itemsize=1)
     fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
     tokens = tokens + cast(enc["pos_embedding"])
@@ -601,8 +993,10 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
     tokens = jnp.concatenate([tokens, btok], axis=1)
     s = c + num_registers
 
-    for i in _layer_ids(enc):
+    for li, i in enumerate(_layer_ids(enc)):
         lp = enc[f"layers_{i}"]
+        acaps = caps[li][0] if caps else None
+        mcaps = caps[li][1] if caps else None
         img = tokens[:, s:-1]
         gp = lp["residual_gate"]["projection"]
         logits_g = img.astype(jnp.float32) @ gp["kernel"].astype(jnp.float32) \
@@ -627,20 +1021,33 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
         tokens = jnp.concatenate(
             [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
 
+        if fuse_layer:
+            tokens = quant_masked_layer_block(
+                tokens, fwd_mask,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+                lp["wo_q"], lp["so"], cast(lp["bo"]),
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                lp["w1_q"], lp["s1"], cast(lp["b1"]),
+                lp["w2_q"], lp["s2"], cast(lp["b2"]),
+                num_heads, 1e-6, interpret, 1,
+                caps[li] if caps else None,
+            )
+            continue
         if fuse_attn:
             tokens = quant_masked_attention_block(
                 tokens, fwd_mask,
                 cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
                 lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
                 lp["wo_q"], lp["so"], cast(lp["bo"]),
-                num_heads, 1e-6, interpret,
+                num_heads, 1e-6, interpret, 2, acaps,
             )
         else:
             tokens = quant_attention_block_xla(
                 tokens, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["wqkv_q"], lp["sqkv"], lp["bqkv"],
                 lp["wo_q"], lp["so"], lp["bo"], num_heads, 1e-6,
-                mask=fwd_mask,
+                mask=fwd_mask, caps=acaps,
             )
         if fuse_mlp:
             tokens = quant_masked_mlp_block(
@@ -648,13 +1055,14 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                 cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
                 lp["w1_q"], lp["s1"], cast(lp["b1"]),
                 lp["w2_q"], lp["s2"], cast(lp["b2"]),
-                1e-6, interpret,
+                1e-6, interpret, 2, mcaps,
             )
         else:
             tokens = quant_mlp_block_xla(
                 tokens, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
                 lp["w1_q"], lp["s1"], lp["b1"],
                 lp["w2_q"], lp["s2"], lp["b2"], 1e-6, mask=fwd_mask,
+                caps=mcaps,
             )
 
     return _classify(qparams, tokens, c, cast, ln_eps=1e-5)
@@ -787,6 +1195,7 @@ class InferenceEngine:
                  interpret: Optional[bool] = None, quantized: bool = False,
                  max_budget: Optional[float] = None,
                  calib_images=None, calib_percentile: float = 99.9,
+                 calib_static_caps: bool = False,
                  mesh=None):
         module = model.module
         if interpret is None:
@@ -801,6 +1210,41 @@ class InferenceEngine:
         self._mesh = mesh
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
         self._residual = type(module).__name__ == "ResidualVisionTransformer"
+        if type(module).__name__ == "AdaptiveVisionTransformer":
+            if quantized or max_budget is not None:
+                raise NotImplementedError("the A-ViT engine is bf16-only")
+            self.params = model.params
+            self._fn = self._jit(functools.partial(
+                adavit_forward_fused,
+                patch_size=module.patch_size,
+                num_heads=module.num_heads,
+                num_layers=module.num_layers,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                act_eps=module.eps,
+                gate_scale=module.gate_scale,
+                gate_center=module.gate_center,
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            ))
+            return
+        if type(module).__name__ == "VisionTransformerMoE":
+            if quantized or max_budget is not None:
+                raise NotImplementedError(
+                    "the MoE engine is bf16-only (dense top-1 experts)")
+            self.params = model.params
+            self._fn = self._jit(functools.partial(
+                moevit_forward_fused,
+                patch_size=module.patch_size,
+                num_heads=module.num_heads,
+                mlp_moes=tuple(module.mlp_moes) if module.mlp_moes else None,
+                attn_moes=(tuple(module.attn_moes)
+                           if module.attn_moes else None),
+                num_layers=module.num_layers,
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            ))
+            return
         if self._residual:
             layers = module.residual_layers or ["attention+mlp"] * module.num_layers
             if (set(layers) != {"attention+mlp"}
@@ -830,29 +1274,66 @@ class InferenceEngine:
 
                 common["pmean_axis"] = DATA_AXIS
             if quantized:
-                self.params = quantize_residualvit_params(model.params)
+                # calibration = SmoothQuant per-channel equalization baked
+                # into the (fp) weights, dynamic per-row scales by default;
+                # static percentile caps only on request (measured: caps
+                # from a small calib set clip unseen activations and lose
+                # to dynamic scales once smoothing has tamed the outliers)
+                caps = None
+                qsource = model.params
+                if calib_images is not None:
+                    stats_caps, smoothing = (
+                        collect_residualvit_activation_stats(
+                            model.params, jnp.asarray(calib_images),
+                            percentile=calib_percentile,
+                            **{k: common[k] for k in (
+                                "patch_size", "num_heads",
+                                "num_class_tokens", "num_registers",
+                                "gate_temp", "gate_bias", "budget_token")}))
+                    qsource = smooth_vit_params(model.params, smoothing)
+                    if calib_static_caps:
+                        caps, _ = collect_residualvit_activation_stats(
+                            qsource, jnp.asarray(calib_images),
+                            percentile=calib_percentile,
+                            **{k: common[k] for k in (
+                                "patch_size", "num_heads",
+                                "num_class_tokens", "num_registers",
+                                "gate_temp", "gate_bias", "budget_token")})
+                self.params = quantize_residualvit_params(qsource)
                 self._fn = self._jit(functools.partial(
-                    residualvit_forward_quant, **common), n_scalar_args=1)
+                    residualvit_forward_quant, caps=caps, **common),
+                    n_scalar_args=1)
             else:
                 self.params = model.params
                 self._fn = self._jit(functools.partial(
                     residualvit_forward_fused, **common), n_scalar_args=1)
             return
         if quantized:
-            # optional static percentile activation calibration (ViT and
-            # RankViT engines; the residual engine keeps dynamic scales)
+            # optional calibration (ViT and RankViT engines): SmoothQuant
+            # per-channel equalization baked into the weights (exact in
+            # fp), then static percentile activation caps on the SMOOTHED
+            # model — the pair that survives pretrained outlier channels
+            # (tests/test_full_scale.py realistic fixture)
             caps = None
+            qsource = model.params
             if calib_images is not None:
-                caps = collect_activation_caps(
-                    model.params, jnp.asarray(calib_images),
+                geom = dict(
                     patch_size=module.patch_size,
                     num_heads=module.num_heads,
                     num_class_tokens=getattr(module, "num_class_tokens", 1),
                     num_registers=getattr(module, "num_registers", 0),
                     ln_eps=getattr(module, "ln_eps", 1e-5),
-                    percentile=calib_percentile,
                 )
-            self.params = quantize_vit_params(model.params)
+                smoothing = compute_smoothing_vectors(
+                    model.params, jnp.asarray(calib_images), **geom)
+                qsource = smooth_vit_params(model.params, smoothing)
+                if calib_static_caps:
+                    # static caps skip the per-row absmax pass but clip
+                    # activations the calib set never saw — opt-in only
+                    caps = collect_activation_caps(
+                        qsource, jnp.asarray(calib_images),
+                        percentile=calib_percentile, **geom)
+            self.params = quantize_vit_params(qsource)
             if self._rank_layers:
                 # int8 + physical token drop: one jitted fn per budget
                 # (caps calibrated at full token count; a high percentile

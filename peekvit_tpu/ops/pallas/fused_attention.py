@@ -74,7 +74,11 @@ def _attn_scores_pv(qj, kj, vj, scale, kmask=None):
     # 64 the MXU tile is 128 lanes wide anyway, so the extra column is
     # free and the (N, N) VPU reduction disappears (accumulated in the
     # matmul's fp32 accumulator, same precision as the explicit sum).
-    ones = jnp.ones((vj.shape[0], 1), vj.dtype)
+    # The ones column derives from vj (vj*0+1) so it inherits vj's vector
+    # layout — a fresh jnp.ones gets offset (0, _) and Mosaic rejects the
+    # concat when vj is a row slice with a non-zero sublane offset
+    # (mi > 1 image cells: "offset mismatch on non-concat dimension").
+    ones = vj[:, :1] * jnp.zeros((), vj.dtype) + jnp.ones((), vj.dtype)
     pv_ext = jax.lax.dot_general(
         e, jnp.concatenate([vj, ones], axis=-1),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -564,8 +568,14 @@ def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
     - 'masked':    ResidualViT masked-LN semantics (mask * LN, masked attn
                    output; reference residualvit.py:249-260)
     - 'keymasked': padded-RankViT true key exclusion (additive -inf keys)
+    - 'avit':      A-ViT semantics (reference adavit.py:21-80 via
+                   models/adavit.py AViTBlock): LN of the MASKED input,
+                   result masked — ``LN(x*a)*a`` — with UNMASKED residual
+                   adds (unlike ResidualViT's ``mask*LN(x)``).
     ``folded``: the LN affines are pre-folded into wqkv/bqkv and w1/b1
-    (fold_ln_into_weights) — no lns/lnb refs, normalization only.
+    (fold_ln_into_weights) — no lns/lnb refs, normalization only (not
+    available for 'masked'/'avit', whose row masks do not commute with the
+    folded bias term).
     """
     m_ref = None
     if folded:
@@ -589,14 +599,18 @@ def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
     xf = x.astype(jnp.float32)
 
     mask = kmask = None
-    if mode == "masked":
+    if mode in ("masked", "avit"):
         mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
     elif mode == "keymasked":
         kmask = m_ref[...].reshape(mi, n)
 
-    ln = _norm_rows(xf, eps) if folded else _ln_f32_rows(xf, lns1, lnb1, eps)
-    if mask is not None:
-        ln = ln * mask
+    if mode == "avit":  # LN(x*a)*a, unmasked residuals
+        ln = _ln_f32_rows(xf * mask, lns1, lnb1, eps) * mask
+    else:
+        ln = (_norm_rows(xf, eps) if folded
+              else _ln_f32_rows(xf, lns1, lnb1, eps))
+        if mask is not None:
+            ln = ln * mask
     ln = ln.astype(x.dtype)
 
     qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
@@ -618,13 +632,17 @@ def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
 
     out = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
     out = out + bo_ref[0].astype(jnp.float32)
-    if mask is not None:
+    if mask is not None and mode == "masked":
         out = out * mask
     y = out + xf  # fp32 residual — never rounds through bf16 HBM
 
-    ln2 = _norm_rows(y, eps) if folded else _ln_f32_rows(y, lns2, lnb2, eps)
-    if mask is not None:
-        ln2 = ln2 * mask
+    if mode == "avit":
+        ln2 = _ln_f32_rows(y * mask, lns2, lnb2, eps) * mask
+    else:
+        ln2 = (_norm_rows(y, eps) if folded
+               else _ln_f32_rows(y, lns2, lnb2, eps))
+        if mask is not None:
+            ln2 = ln2 * mask
     h2 = jnp.dot(ln2.astype(x.dtype), w1_ref[...],
                  preferred_element_type=jnp.float32)
     h2 = jax.nn.gelu(h2 + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
@@ -757,3 +775,19 @@ def keymasked_layer_block_folded(x, key_mask, w_qkv, b_qkv, w_out, b_out,
          w1, b1.reshape(1, m), w2, b2.reshape(1, d))
     return _merged_call(x, key_mask, iok, w, num_heads, eps, "keymasked",
                         interpret, mi, folded=True)
+
+
+@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
+def avit_layer_block(x, active, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                     ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
+                     eps: float = 1e-5, interpret: bool = False,
+                     images_per_cell: int = 1):
+    """Merged A-ViT layer: LN(x*a)*a masking on both sublayers, unmasked
+    residual adds (reference adavit.py:21-80). active: (B, N, 1)."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
+                            ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
+    return _merged_call(x, active, iom, w, num_heads, eps, "avit",
+                        interpret, mi)

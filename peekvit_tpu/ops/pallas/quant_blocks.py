@@ -237,7 +237,7 @@ def quant_mlp_block(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
 
 def _q_masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
                           bqkv_ref, wo_ref, so_ref, bo_ref, o_ref,
-                          *, num_heads: int, eps: float):
+                          *, num_heads: int, eps: float, caps=None):
     """int8 ResidualViT attention sublayer:
     out = x + mask * OutProj(MHSA(mask * LN(x)))."""
     mi, n, d = x_ref.shape
@@ -248,7 +248,7 @@ def _q_masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
     xf = x.astype(jnp.float32)
 
     ln = _ln_f32(x, lns_ref, lnb_ref, eps) * mask
-    lq, ls = _quant_rows(ln)
+    lq, ls = _quant_rows(ln, caps[0] if caps else None)
     qkv = _qmatmul(lq, ls, wqkv_ref, sqkv_ref) + bqkv_ref[0].astype(jnp.float32)
     qkv = qkv.astype(jnp.bfloat16)
 
@@ -265,32 +265,33 @@ def _q_masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
         attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
     attn = jnp.concatenate(attn_cols, axis=-1)
 
-    aq, as_ = _quant_rows(attn)
+    aq, as_ = _quant_rows(attn, caps[1] if caps else None)
     proj = _qmatmul(aq, as_, wo_ref, so_ref) + bo_ref[0].astype(jnp.float32)
     out = proj * mask + xf
     o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
 
 def _q_masked_mlp_kernel(x_ref, m_ref, lns_ref, lnb_ref, w1_ref, s1_ref,
-                         b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps: float):
+                         b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *, eps: float,
+                         caps=None):
     mi, n, d = x_ref.shape
     x = x_ref[...].reshape(mi * n, d)
     mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
     xf = x.astype(jnp.float32)
     ln = _ln_f32(x, lns_ref, lnb_ref, eps) * mask
-    lq, ls = _quant_rows(ln)
+    lq, ls = _quant_rows(ln, caps[0] if caps else None)
     h = _qmatmul(lq, ls, w1_ref, s1_ref) + b1_ref[0].astype(jnp.float32)
     h = jax.nn.gelu(h)
-    hq, hs = _quant_rows(h)
+    hq, hs = _quant_rows(h, caps[1] if caps else None)
     out = _qmatmul(hq, hs, w2_ref, s2_ref) + b2_ref[0].astype(jnp.float32) + xf
     o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
 def quant_masked_attention_block(x, mask, ln_scale, ln_bias, wqkv_q, sqkv,
                                  b_qkv, wo_q, so, b_out, num_heads: int,
                                  eps: float = 1e-6, interpret: bool = False,
-                                 images_per_cell: int = 2):
+                                 images_per_cell: int = 2, caps=None):
     b, n, d = x.shape
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
     io, (w_lns, w_lnb, w_qkv, w_sqkv, w_bqkv, w_o, w_so, w_bo) = _specs(
@@ -300,7 +301,8 @@ def quant_masked_attention_block(x, mask, ln_scale, ln_bias, wqkv_q, sqkv,
     )
     iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_q_masked_attn_kernel, num_heads=num_heads, eps=eps),
+        functools.partial(_q_masked_attn_kernel, num_heads=num_heads, eps=eps,
+                          caps=caps),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=[io, iom, w_lns, w_lnb, w_qkv, w_sqkv, w_bqkv, w_o, w_so,
@@ -311,10 +313,11 @@ def quant_masked_attention_block(x, mask, ln_scale, ln_bias, wqkv_q, sqkv,
       b_qkv.reshape(1, 3 * d), wo_q, so, b_out.reshape(1, d))
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
 def quant_masked_mlp_block(x, mask, ln_scale, ln_bias, w1_q, s1, b1, w2_q,
                            s2, b2, eps: float = 1e-6,
-                           interpret: bool = False, images_per_cell: int = 2):
+                           interpret: bool = False, images_per_cell: int = 2,
+                           caps=None):
     b, n, d = x.shape
     m = w1_q.shape[-1]
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
@@ -324,7 +327,7 @@ def quant_masked_mlp_block(x, mask, ln_scale, ln_bias, w1_q, s1, b1, w2_q,
     )
     iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_q_masked_mlp_kernel, eps=eps),
+        functools.partial(_q_masked_mlp_kernel, eps=eps, caps=caps),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=[io, iom, w_lns, w_lnb, w_1, w_s1, w_b1, w_2, w_s2, w_b2],
@@ -332,3 +335,140 @@ def quant_masked_mlp_block(x, mask, ln_scale, ln_bias, w1_q, s1, b1, w2_q,
         interpret=interpret,
     )(x, mask, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1_q, s1,
       b1.reshape(1, m), w2_q, s2, b2.reshape(1, d))
+
+
+# ------------------------------------------- merged per-layer int8 kernels
+#
+# Same round-3 treatment as the bf16 merged kernels
+# (ops/pallas/fused_attention.py): one kernel per LAYER kills the (B, N, D)
+# HBM round trip between the attn and MLP sublayers, the fp32 residual
+# stays in VMEM, and all int8 weights (~7 MB at ViT-B) stay resident under
+# the raised scoped-vmem limit.
+
+_Q_MERGED_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _q_layer_kernel(x_ref, *refs, num_heads: int, eps: float, caps=None,
+                    masked: bool = False):
+    if masked:
+        (m_ref, lns1, lnb1, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref,
+         bo_ref, lns2, lnb2, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+         o_ref) = refs
+    else:
+        m_ref = None
+        (lns1, lnb1, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+         lns2, lnb2, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+         o_ref) = refs
+    mi, n, d = x_ref.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    x = x_ref[...].reshape(mi * n, d)
+    xf = x.astype(jnp.float32)
+    mask = None
+    if masked:
+        mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    acaps = caps[0] if caps else None
+    mcaps = caps[1] if caps else None
+
+    ln = _ln_f32(x, lns1, lnb1, eps)
+    if mask is not None:
+        ln = ln * mask
+    lq, ls = _quant_rows(ln, acaps[0] if acaps else None)
+    qkv = _qmatmul(lq, ls, wqkv_ref, sqkv_ref) + bqkv_ref[0].astype(jnp.float32)
+    qkv = qkv.astype(jnp.bfloat16)
+
+    attn_cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        outs = []
+        for j in range(mi):
+            qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
+            outs.append(_attn_scores_pv(qj, kj, vj, scale).astype(jnp.bfloat16))
+        attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
+    attn = jnp.concatenate(attn_cols, axis=-1)
+
+    aq, as_ = _quant_rows(attn, acaps[1] if acaps else None)
+    proj = _qmatmul(aq, as_, wo_ref, so_ref) + bo_ref[0].astype(jnp.float32)
+    if mask is not None:
+        proj = proj * mask
+    y = proj + xf  # fp32 residual stays in VMEM
+
+    ln2 = _ln_f32(y, lns2, lnb2, eps)
+    if mask is not None:
+        ln2 = ln2 * mask
+    lq2, ls2 = _quant_rows(ln2, mcaps[0] if mcaps else None)
+    h2 = _qmatmul(lq2, ls2, w1_ref, s1_ref) + b1_ref[0].astype(jnp.float32)
+    h2 = jax.nn.gelu(h2)
+    hq, hs = _quant_rows(h2, mcaps[1] if mcaps else None)
+    out2 = _qmatmul(hq, hs, w2_ref, s2_ref) + b2_ref[0].astype(jnp.float32) + y
+    o_ref[...] = out2.reshape(mi, n, d).astype(o_ref.dtype)
+
+
+def _q_layer_call(x, extra, weights, num_heads, eps, caps, masked,
+                  interpret, mi):
+    b, n, d = x.shape
+    m = weights[10].shape[-1]  # w1_q
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspecs = [full((1, d)), full((1, d)), full((d, 3 * d)), full((1, 3 * d)),
+              full((1, 3 * d)), full((d, d)), full((1, d)), full((1, d)),
+              full((1, d)), full((1, d)), full((d, m)), full((1, m)),
+              full((1, m)), full((m, d)), full((1, d)), full((1, d))]
+    extras = []
+    if masked:
+        extras = [pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    args = (x,) + ((extra,) if masked else ()) + tuple(weights)
+    return pl.pallas_call(
+        functools.partial(_q_layer_kernel, num_heads=num_heads, eps=eps,
+                          caps=caps, masked=masked),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b // mi,),
+        in_specs=[io] + extras + wspecs,
+        out_specs=io,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_Q_MERGED_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+
+def _q_pack(ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
+            ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2, d, m):
+    return (ln1s.reshape(1, d), ln1b.reshape(1, d), wqkv_q, sqkv,
+            b_qkv.reshape(1, 3 * d), wo_q, so, b_out.reshape(1, d),
+            ln2s.reshape(1, d), ln2b.reshape(1, d), w1_q, s1,
+            b1.reshape(1, m), w2_q, s2, b2.reshape(1, d))
+
+
+@functools.partial(jax.jit, static_argnums=(17, 18, 19, 20, 21))
+def quant_layer_block(x, ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
+                      ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2,
+                      num_heads: int, eps: float = 1e-5,
+                      interpret: bool = False, images_per_cell: int = 1,
+                      caps=None):
+    """Merged int8 transformer layer (attn + MLP in one kernel)."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    w = _q_pack(ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
+                ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2, d, w1_q.shape[-1])
+    return _q_layer_call(x, None, w, num_heads, eps, caps, False,
+                         interpret, mi)
+
+
+@functools.partial(jax.jit, static_argnums=(18, 19, 20, 21, 22))
+def quant_masked_layer_block(x, mask, ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q,
+                             so, b_out, ln2s, ln2b, w1_q, s1, b1, w2_q, s2,
+                             b2, num_heads: int, eps: float = 1e-6,
+                             interpret: bool = False,
+                             images_per_cell: int = 1, caps=None):
+    """Merged int8 ResidualViT layer (mask * LN on both sublayers, masked
+    attention output). mask: (B, N, 1)."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    w = _q_pack(ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
+                ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2, d, w1_q.shape[-1])
+    return _q_layer_call(x, mask, w, num_heads, eps, caps, True,
+                         interpret, mi)

@@ -353,3 +353,66 @@ def test_quant_calibrated_rankvit_engine():
     # static caps actually differ from the dynamic path
     assert not np.allclose(np.asarray(cal(x, budget=0.5)),
                            np.asarray(dyn(x, budget=0.5)))
+
+
+def test_moevit_engine_matches_linen():
+    """MoE fused engine (merged kernels on single-expert sublayers + dense
+    top-1 einsum on MoE sublayers) == the linen eval forward, including a
+    mixed-expert layout (VERDICT r2 #5)."""
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "moevit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             mlp_moes=[1, 2, 3], attn_moes=[1, 2, 1]),
+        seed=4,
+    )
+    rng = np.random.default_rng(1)
+    p = jax.tree.map(lambda x: np.array(x, np.float32), model.params)
+    p["head"]["kernel"][:] = rng.normal(0, 0.05, p["head"]["kernel"].shape)
+    model.params = jax.tree.map(jnp.asarray, p)
+
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    want, aux = model(x)
+    want = np.asarray(want)
+    assert "layer_1" in aux["gating_probs"]
+
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    got = np.asarray(engine(x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_adavit_engine_matches_linen():
+    """A-ViT fused engine (ACT algebra in XLA + merged avit-mode Pallas
+    blocks) == the linen scan forward, with gates tuned so tokens really
+    halt at different depths (VERDICT r2 #5)."""
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "adavit",
+        dict(image_size=32, patch_size=8, num_layers=4, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             gate_scale=5.0, gate_center=0.0),
+        seed=8,
+    )
+    rng = np.random.default_rng(2)
+    p = jax.tree.map(lambda x: np.array(x, np.float32), model.params)
+    p["head"]["kernel"][:] = rng.normal(0, 0.05, p["head"]["kernel"].shape)
+    model.params = jax.tree.map(jnp.asarray, p)
+
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    want, aux = model(x)
+    want = np.asarray(want)
+    # the fixture must actually exercise ACT: some tokens halt early
+    assert float(np.asarray(aux["counter_token"]).min()) < 4
+
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    got = np.asarray(engine(x))
+    # tokens sitting ON the c ~ 1-eps halting boundary can flip with fp32
+    # rounding, so exact-tolerance parity is not attainable by design
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))

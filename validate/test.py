@@ -68,14 +68,15 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     out_fmt = getattr(model.module, "output_format", None)
     criterion = CrossEntropyLoss()
 
-    # fused Pallas engine for the ViT/RankViT families (parity-tested in
-    # tests/test_inference.py); linen path for everything else or when a
-    # noise sweep is active.
+    # fused Pallas engine for the ViT/RankViT/Residual/MoE/A-ViT families
+    # (parity-tested in tests/test_inference.py); linen path for everything
+    # else or when a noise sweep is active.
     engine = None
     if tcfg.get("use_fused_engine", True) and noises == [None] and (
         type(model.module).__name__ in
         ("VisionTransformer", "RankVisionTransformer",
-         "ResidualVisionTransformer")
+         "ResidualVisionTransformer", "VisionTransformerMoE",
+         "AdaptiveVisionTransformer")
     ):
         from peekvit_tpu.inference import InferenceEngine
 
