@@ -109,6 +109,13 @@ def _layer_fusable(d: int, m: int, itemsize: int = 2) -> bool:
     return (4 * d * d + 2 * d * m) * itemsize <= _MERGED_WEIGHT_BYTES_LIMIT
 
 
+# Below this token count the SPLIT per-sublayer kernels beat the merged
+# per-layer kernel (measured on v5e, rank int8 @ budget 0.25: 13.7k img/s
+# split vs 11.8k merged — a 14 MB weight DMA cannot amortize over
+# 13-token matmuls). The physical-drop engines pick per layer.
+_MERGED_MIN_TOKENS = 128
+
+
 def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
@@ -523,7 +530,9 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     """
     from peekvit_tpu.ops.pallas.fused_attention import (
         fold_ln_into_weights,
+        fused_attention_block,
         fused_layer_block_folded,
+        fused_mlp_block,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
@@ -547,19 +556,35 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
-        wqkv, bqkv = fold_ln_into_weights(
-            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
-        w1, b1 = fold_ln_into_weights(
-            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
-        tokens = fused_layer_block_folded(
-            tokens, wqkv, bqkv,
-            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-            w1, b1,
-            cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
-            num_heads, ln_eps, interpret,
-        )
+        if tokens.shape[1] >= _MERGED_MIN_TOKENS:
+            wqkv, bqkv = fold_ln_into_weights(
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+            w1, b1 = fold_ln_into_weights(
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+            tokens = fused_layer_block_folded(
+                tokens, wqkv, bqkv,
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                w1, b1,
+                cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+                num_heads, ln_eps, interpret,
+            )
+        else:  # few tokens: split kernels amortize weight DMA better
+            tokens = fused_attention_block(
+                tokens,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                num_heads, ln_eps, interpret,
+            )
+            tokens = fused_mlp_block(
+                tokens,
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+                cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+                ln_eps, interpret,
+            )
     return _classify(params, tokens, c, cast, ln_eps)
 
 
@@ -685,7 +710,7 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
         lp = enc[f"layers_{i}"]
         acaps = caps[li][0] if caps else None
         mcaps = caps[li][1] if caps else None
-        if fuse_layer:
+        if fuse_layer and tokens.shape[1] >= _MERGED_MIN_TOKENS:
             tokens = quant_layer_block(
                 tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
                 lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
@@ -1075,9 +1100,15 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               budget_token: Any = "learnable",
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = False,
-                              pmean_axis: Optional[str] = None) -> jax.Array:
+                              pmean_axis: Optional[str] = None,
+                              early_exits: bool = False):
     """Fused ResidualViT eval forward (sigmoid gates, 'attention+mlp' skip —
     the mode every shipped config uses, SURVEY.md §7.6).
+
+    Also serves the EE variant: with ``early_exits=True`` the param tree's
+    per-layer LN->Dense exit heads (eeresidualvit.py:75-76 semantics) run
+    on the class tokens after every layer and the return value is the
+    linen-shaped tuple ``(exit_0, ..., exit_{L-1}, final)``.
 
     ``budget`` is a traced scalar: the whole sweep shares one compilation.
     Per block: gate in XLA (a Dense(1) on img tokens + budget/threshold
@@ -1112,6 +1143,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     btok = jnp.broadcast_to(btok, (b, 1, d))
     tokens = jnp.concatenate([tokens, btok], axis=1)
     s = c + num_registers  # special tokens at the front
+    exits = []
 
     for i in _layer_ids(enc):
         lp = enc[f"layers_{i}"]
@@ -1153,8 +1185,18 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
             num_heads, 1e-6, interpret,
         )
+        if early_exits:
+            ln_p = enc[f"early_exit_heads_{i}_ln"]
+            hd_p = enc[f"early_exit_heads_{i}_head"]
+            cls = _layer_norm(tokens[:, :c], cast(ln_p["scale"]),
+                              cast(ln_p["bias"]), 1e-5)[:, 0]
+            exits.append((cls @ cast(hd_p["kernel"])
+                          + cast(hd_p["bias"])).astype(jnp.float32))
 
-    return _classify(params, tokens, c, cast, ln_eps=1e-5)
+    final = _classify(params, tokens, c, cast, ln_eps=1e-5)
+    if early_exits:
+        return tuple(exits) + (final,)
+    return final
 
 
 class InferenceEngine:
@@ -1196,7 +1238,7 @@ class InferenceEngine:
                  max_budget: Optional[float] = None,
                  calib_images=None, calib_percentile: float = 99.9,
                  calib_static_caps: bool = False,
-                 mesh=None):
+                 mesh=None, ee_outputs: bool = False):
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -1209,7 +1251,11 @@ class InferenceEngine:
                 "knob or the quantized engine's per-budget compiles")
         self._mesh = mesh
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
-        self._residual = type(module).__name__ == "ResidualVisionTransformer"
+        self._residual = type(module).__name__ in (
+            "ResidualVisionTransformer",
+            "EEResidualVisionTransformer",
+            "ResidualVisionTransformerWithDecoder",
+        )
         if type(module).__name__ == "AdaptiveVisionTransformer":
             if quantized or max_budget is not None:
                 raise NotImplementedError("the A-ViT engine is bf16-only")
@@ -1255,6 +1301,16 @@ class InferenceEngine:
                     "fused ResidualViT engine supports the shipped-config "
                     "mode: sigmoid gates, attention+mlp skip, budget token, "
                     "add_input=False (SURVEY.md §7.6)")
+            # EE variant: classification serves the FINAL logits; pass
+            # ee_outputs=True for the linen-shaped (exits..., final) tuple.
+            # EncDec variant: classification logits only (the decoder is a
+            # training/visualization artifact; use the linen path for
+            # reconstructions).
+            is_ee = type(module).__name__ == "EEResidualVisionTransformer"
+            if ee_outputs and (not is_ee or quantized):
+                raise NotImplementedError(
+                    "ee_outputs=True needs an (unquantized) "
+                    "EEResidualVisionTransformer")
             common = dict(
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
@@ -1306,7 +1362,8 @@ class InferenceEngine:
             else:
                 self.params = model.params
                 self._fn = self._jit(functools.partial(
-                    residualvit_forward_fused, **common), n_scalar_args=1)
+                    residualvit_forward_fused,
+                    early_exits=bool(ee_outputs), **common), n_scalar_args=1)
             return
         if quantized:
             # optional calibration (ViT and RankViT engines): SmoothQuant

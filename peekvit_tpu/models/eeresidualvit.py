@@ -98,13 +98,16 @@ class EEResidualViTEncoder(nn.Module):
             )(tokens, train=train)
             if mask is not None:
                 masks[f"layer_{i}"] = mask
-            # LN -> Linear exit head on the class tokens (reference :75-76,94)
+            # LN -> Linear exit head on the class tokens (reference :75-76,94).
+            # Explicit child names: nn.Sequential of inline modules does NOT
+            # scope its children (they auto-number under the ENCODER as
+            # LayerNorm_i/Dense_i), which breaks engine/adapters addressing.
             cls = tokens[:, : self.num_class_tokens]
-            exit_head = nn.Sequential(
-                [nn.LayerNorm(epsilon=1e-5), nn.Dense(self.num_classes)],
-                name=f"early_exit_heads_{i}",
-            )
-            early_exits.append(jnp.squeeze(exit_head(cls), axis=1))
+            cls = nn.LayerNorm(epsilon=1e-5,
+                               name=f"early_exit_heads_{i}_ln")(cls)
+            cls = nn.Dense(self.num_classes,
+                           name=f"early_exit_heads_{i}_head")(cls)
+            early_exits.append(jnp.squeeze(cls, axis=1))
         return nn.LayerNorm(epsilon=1e-5, name="ln")(tokens), early_exits, masks
 
 

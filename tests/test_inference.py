@@ -416,3 +416,69 @@ def test_adavit_engine_matches_linen():
     # rounding, so exact-tolerance parity is not attainable by design
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
     assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_eeresidualvit_engine_matches_linen():
+    """EE residual engine: final logits + (ee_outputs=True) the full
+    (exit_0..exit_{L-1}, final) tuple match the linen forward."""
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "eeresidualvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             residual_layers=["attention+mlp"] * 3, gate_type="sigmoid",
+             add_budget_token=0.5),
+        seed=5,
+    )
+    rng = np.random.default_rng(3)
+    p = jax.tree.map(lambda x: np.array(x, np.float32), model.params)
+    p["head"]["kernel"][:] = rng.normal(0, 0.05, p["head"]["kernel"].shape)
+    for name, lp in p["encoder"].items():
+        if name.startswith("layers_"):
+            lp["residual_gate"]["projection"]["kernel"][:] = rng.normal(
+                0, 0.2, lp["residual_gate"]["projection"]["kernel"].shape)
+    model.params = jax.tree.map(jnp.asarray, p)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+
+    out, _ = model(x, budget=0.6)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    final = np.asarray(engine(x, budget=0.6))
+    np.testing.assert_allclose(final, np.asarray(out[-1]), rtol=2e-4,
+                               atol=2e-4)
+
+    ee_engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                                interpret=True, ee_outputs=True)
+    got = ee_engine(x, budget=0.6)
+    assert len(got) == len(out) == 4
+    for g, w in zip(got, out):
+        # in-kernel tanh-gelu vs linen's exact-erf gelu: ~1e-3 relative
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3,
+                                   atol=1e-3)
+
+
+def test_encdec_engine_matches_linen_logits():
+    """EncDec classification via the residual engine == the linen tuple's
+    logits (the decoder is a training/viz artifact; engine skips it)."""
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "encdecresidualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable", decoder_num_layers=1),
+        seed=6,
+    )
+    rng = np.random.default_rng(4)
+    p = jax.tree.map(lambda x: np.array(x, np.float32), model.params)
+    p["head"]["kernel"][:] = rng.normal(0, 0.05, p["head"]["kernel"].shape)
+    model.params = jax.tree.map(jnp.asarray, p)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+
+    (logits, _, _), _ = model(x, budget=0.7)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    got = np.asarray(engine(x, budget=0.7))
+    np.testing.assert_allclose(got, np.asarray(logits), rtol=2e-4, atol=2e-4)

@@ -76,7 +76,8 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         type(model.module).__name__ in
         ("VisionTransformer", "RankVisionTransformer",
          "ResidualVisionTransformer", "VisionTransformerMoE",
-         "AdaptiveVisionTransformer")
+         "AdaptiveVisionTransformer", "EEResidualVisionTransformer",
+         "ResidualVisionTransformerWithDecoder")
     ):
         from peekvit_tpu.inference import InferenceEngine
 
