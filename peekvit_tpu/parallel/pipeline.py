@@ -57,6 +57,7 @@ def pipeline_forward(
     mesh: Mesh,
     num_microbatches: int,
     axis: str = STAGE_AXIS,
+    data_axis: str = None,
 ) -> jax.Array:
     """Run ``S = mesh.shape[axis]`` pipeline stages over microbatches.
 
@@ -73,6 +74,11 @@ def pipeline_forward(
     microbatch ``t - s`` when it is in range; boundary activations hop one
     stage per tick over ICI via ``ppermute``. Bubble fraction is the usual
     (S - 1) / (M + S - 1) — pick M >= S for decent utilization.
+
+    ``data_axis``: optional second mesh axis for dp x pp composition — the
+    within-microbatch batch dimension is sharded over it (every data row
+    of the mesh runs the same pipeline on its batch shard; gradients
+    all-reduce over ``data_axis`` via the shard_map transpose).
     """
     m = num_microbatches
     b = x.shape[0]
@@ -96,7 +102,9 @@ def pipeline_forward(
             f"{xs_local[0].shape} -> {out_shape.shape}"
         )
 
-        out_buf = jnp.zeros((m, mb) + xs_local.shape[2:], xs_local.dtype)
+        # xs_local.shape[1] (not the closure's global mb): under dp x pp
+        # the within-microbatch batch dim is sharded over data_axis
+        out_buf = jnp.zeros((m,) + xs_local.shape[1:], xs_local.dtype)
         act0 = jnp.zeros_like(xs_local[0])
 
         def step(carry, t):
@@ -128,11 +136,12 @@ def pipeline_forward(
         # on; the outside slice is replicated by jit on demand.
         return out_buf[None]
 
+    data_spec = (None, data_axis) if data_axis else (None,)
     fn = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(axis),
+        in_specs=(P(axis), P(*data_spec)),
+        out_specs=P(axis, None, *data_spec[1:]),
         check_rep=False,
     )
     out = fn(stage_params, xs)[s_total - 1]
@@ -185,7 +194,8 @@ def pipelined_vit_forward(params, images, *, mesh: Mesh,
                           num_microbatches: int, num_heads: int,
                           patch_size: int, num_class_tokens: int = 1,
                           num_registers: int = 0, ln_eps: float = 1e-5,
-                          axis: str = STAGE_AXIS) -> jax.Array:
+                          axis: str = STAGE_AXIS,
+                          data_axis: str = None) -> jax.Array:
     """Full plain-ViT eval/train forward with the encoder block stack
     pipelined over the mesh's ``axis``.
 
@@ -211,5 +221,6 @@ def pipelined_vit_forward(params, images, *, mesh: Mesh,
         return act
 
     out = pipeline_forward(stage_fn, stage_params, tokens, mesh=mesh,
-                           num_microbatches=num_microbatches, axis=axis)
+                           num_microbatches=num_microbatches, axis=axis,
+                           data_axis=data_axis)
     return _classify(params, out, num_class_tokens, cast, ln_eps)

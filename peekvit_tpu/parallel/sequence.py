@@ -90,6 +90,7 @@ def sequence_parallel_vit_forward(
     ln_eps: float = 1e-5,
     rankvit_layers=(),
     budget=None,
+    data_axis: str = None,
 ) -> jax.Array:
     """Full ViT / RankViT forward with the TOKEN axis sharded over ``axis``
     (model-level Megatron-SP, lifting :func:`sequence_parallel_vit_block`
@@ -107,6 +108,8 @@ def sequence_parallel_vit_forward(
       LN / projections / MLP / gelu stay token-local. Differentiable end
       to end (all_gather transposes to reduce-scatter), so the Trainer's
       ``sequence_parallel_devices=`` mode trains through it.
+    - ``data_axis``: optional second mesh axis for dp x sp composition —
+      the batch dimension shards over it while tokens shard over ``axis``.
 
     Returns logits, matching the linen forward (parity-tested in
     tests/test_parallel.py).
@@ -132,9 +135,11 @@ def sequence_parallel_vit_forward(
     rank_on = budget is not None and ranked
 
     def body(p, t, *bud):
-        # t: (B, n_pad/s, D) local token shard; alive: GLOBAL (B, n_pad-c)
+        # t: (B_local, n_pad/s, D) local shard; alive: token-GLOBAL
+        # (B_local, n_pad - c) — batch stays local under dp x sp
+        b_l = t.shape[0]
         alive = jnp.broadcast_to(jnp.asarray(pad_valid[c:], jnp.float32),
-                                 (b, n_pad - c))
+                                 (b_l, n_pad - c))
         for i in layer_ids:
             lp = p[f"layers_{i}"]
             if rank_on and i in ranked:
@@ -152,10 +157,10 @@ def sequence_parallel_vit_forward(
                 alive = ((ranks < n_keep) & (alive > 0)).astype(jnp.float32)
             if rank_on:
                 key_mask = jnp.concatenate(
-                    [jnp.ones((b, c), jnp.float32), alive], axis=1)
+                    [jnp.ones((b_l, c), jnp.float32), alive], axis=1)
             else:
                 key_mask = jnp.broadcast_to(
-                    jnp.asarray(pad_valid, jnp.float32), (b, n_pad))
+                    jnp.asarray(pad_valid, jnp.float32), (b_l, n_pad))
 
             at = lp["self_attention"]
             y = _ln(t, lp["ln_1"]["scale"], lp["ln_1"]["bias"], ln_eps)
@@ -172,11 +177,13 @@ def sequence_parallel_vit_forward(
         return t
 
     bud_args = () if budget is None else (jnp.asarray(budget, jnp.float32),)
+    tok_spec = (P(data_axis, axis, None) if data_axis
+                else P(None, axis, None))
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(None, axis, None)) + ((P(),) if bud_args else ()),
-        out_specs=P(None, axis, None),
+        in_specs=(P(), tok_spec) + ((P(),) if bud_args else ()),
+        out_specs=tok_spec,
         check_rep=False,
     )
     out = fn(enc, tokens, *bud_args)

@@ -230,8 +230,16 @@ class Trainer:
                 f"num_layers={module.num_layers} not divisible into "
                 f"{s} pipeline stages")
 
+        data_axis = None
         if self.mesh is not None and STAGE_AXIS in self.mesh.axis_names:
             mesh = self.mesh
+            from peekvit_tpu.parallel.mesh import DATA_AXIS
+
+            # dp x pp composition: batch sharded over 'data', pipeline over
+            # 'stage'; grads all-reduce over data via the shard_map
+            # transpose (parity-tested on a (2, 4) virtual mesh)
+            if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1:
+                data_axis = DATA_AXIS
         else:
             devices = jax.devices()
             if len(devices) < s:
@@ -250,6 +258,7 @@ class Trainer:
             num_class_tokens=getattr(module, "num_class_tokens", 1),
             num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
+            data_axis=data_axis,
         )
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):
@@ -300,9 +309,14 @@ class Trainer:
         module = self._check_deterministic_parallel_model(
             "sequence_parallel_devices")
         s = int(self.sequence_parallel_devices)
+        data_axis = None
         if self.mesh is not None and MODEL_AXIS in self.mesh.axis_names \
                 and self.mesh.shape[MODEL_AXIS] == s:
             mesh = self.mesh
+            from peekvit_tpu.parallel.mesh import DATA_AXIS
+
+            if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1:
+                data_axis = DATA_AXIS  # dp x sp composition
         else:
             devices = jax.devices()
             if len(devices) < s:
@@ -320,6 +334,7 @@ class Trainer:
             num_class_tokens=getattr(module, "num_class_tokens", 1),
             num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
+            data_axis=data_axis,
         )
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):

@@ -422,3 +422,52 @@ def test_sp_train_step_matches_single_device():
                     jax.tree.leaves(t_sp.model.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dp_pp_composed_train_step_matches_single_device():
+    """dp x pp on a (data=2, stage=4) mesh: batch sharded over data,
+    encoder blocks pipelined over stage; params match single-device."""
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    t_single = Trainer(model=_pp_model(), optimizer=SGD(lr=0.05),
+                       fused=False)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "stage"))
+    t_pp = Trainer(model=_pp_model(), optimizer=SGD(lr=0.05), fused=False,
+                   pipeline_stages=4, pipeline_microbatches=2, mesh=mesh)
+    for i in range(2):
+        m_s = t_single.train_step(x, y, step_idx=i)
+        m_p = t_pp.train_step(shard_batch(x, mesh), shard_batch(y, mesh),
+                              step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_pp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dp_sp_composed_train_step_matches_single_device():
+    """dp x sp on a (data=2, model=4) mesh: batch over data, tokens over
+    model; params match single-device."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    t_single = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=False)
+    mesh = make_mesh(n_data=2, n_model=4)
+    t_sp = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=False,
+                   sequence_parallel_devices=4, mesh=mesh)
+    for i in range(2):
+        m_s = t_single.train_step(x, y, step_idx=i)
+        m_p = t_sp.train_step(shard_batch(x, mesh), shard_batch(y, mesh),
+                              step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_sp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
