@@ -1,0 +1,120 @@
+"""Engine-variant throughput matrix on the real TPU (ViT-B/16 @224 bs256).
+
+Reproduces the README "Measured performance" table: every serving engine
+variant timed with the fori_loop device-timing method (bench.py — the
+axon tunnel acks dispatches early, so wall-clock around dispatch measures
+nothing). Run:  python benchmarks/engine_matrix.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from bench import device_seconds_per_iter
+from peekvit_tpu.inference import InferenceEngine
+from peekvit_tpu.models.registry import build_model
+
+BS = 256
+B16 = dict(image_size=224, patch_size=16, num_layers=12, num_heads=12,
+           hidden_dim=768, mlp_dim=3072, num_classes=1000)
+
+
+def bf16(model):
+    model.params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                                model.params)
+    return model
+
+
+def measure(step, args, reps=8):
+    return device_seconds_per_iter(step, args, reps=reps)
+
+
+def emit(name, t):
+    print(json.dumps({"engine": name, "img_per_s": round(BS / t, 1),
+                      "ms": round(t * 1000, 2)}), flush=True)
+
+
+def main():
+    assert jax.default_backend() == "tpu", "engine matrix needs the TPU"
+    x = jax.random.normal(jax.random.key(0), (BS, 224, 224, 3),
+                          jnp.bfloat16)
+
+    # plain ViT: bf16 + int8
+    vit = bf16(build_model("vit", B16))
+    for tag, kw in (("vit_bf16", {}), ("vit_int8", dict(quantized=True))):
+        eng = InferenceEngine(vit, **kw)
+
+        def step(params, xx, carry, fn=eng._fn):
+            return jnp.sum(fn(params, xx + carry * 0))
+
+        emit(tag, measure(step, (eng.params, x)))
+
+    # RankViT physical drop: bf16 + int8 at two budgets
+    rank = bf16(build_model("rankvit", dict(B16, rankvit_layers=[3, 6, 9])))
+    for tag, kw in (("rank_bf16", {}), ("rank_int8", dict(quantized=True))):
+        eng = InferenceEngine(rank, **kw)
+        for b in (0.5, 0.25):
+            eng(x[:8], budget=b)
+            fn = eng._rank_fns[b]
+
+            def step(params, xx, carry, f=fn):
+                return jnp.sum(f(params, xx + carry * 0))
+
+            emit(f"{tag}@{b}", measure(step, (eng.params, x)))
+
+    # ResidualViT: bf16 + int8
+    res = bf16(build_model("residualvit", dict(
+        B16, residual_layers=["attention+mlp"] * 12, gate_type="sigmoid",
+        add_budget_token="learnable")))
+    for tag, kw in (("residual_bf16", {}),
+                    ("residual_int8", dict(quantized=True))):
+        eng = InferenceEngine(res, **kw)
+
+        def step(params, xx, carry, fn=eng._fn):
+            return jnp.sum(fn(params, xx + carry * 0, jnp.float32(0.5)))
+
+        emit(tag, measure(step, (eng.params, x)))
+
+    # EE / EncDec classification engines
+    for name, extra in (
+        ("eeresidualvit", {}),
+        ("encdecresidualvit", dict(decoder_num_layers=4)),
+    ):
+        m = bf16(build_model(name, dict(
+            B16, residual_layers=["attention+mlp"] * 12,
+            gate_type="sigmoid", add_budget_token=0.5, **extra)))
+        eng = InferenceEngine(m)
+
+        def step(params, xx, carry, fn=eng._fn):
+            return jnp.sum(fn(params, xx + carry * 0, jnp.float32(0.5)))
+
+        emit(name, measure(step, (eng.params, x)))
+
+    # MoE + A-ViT engines
+    moe = bf16(build_model("moevit", dict(
+        B16, mlp_moes=[1, 1, 1, 1, 2, 2, 2, 2, 4, 4, 4, 4])))
+    eng = InferenceEngine(moe)
+
+    def step_moe(params, xx, carry, fn=eng._fn):
+        return jnp.sum(fn(params, xx + carry * 0))
+
+    emit("moevit(1/2/4)", measure(step_moe, (eng.params, x)))
+
+    ada = bf16(build_model("adavit", B16))
+    enga = InferenceEngine(ada)
+
+    def step_ada(params, xx, carry, fn=enga._fn):
+        return jnp.sum(fn(params, xx + carry * 0))
+
+    emit("adavit", measure(step_ada, (enga.params, x)))
+
+
+if __name__ == "__main__":
+    main()
