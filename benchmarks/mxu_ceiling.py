@@ -121,9 +121,6 @@ def main():
     # classify, ~1.3 ms at bs256 — conservative: taken as is)
     overhead_s = 1.3e-3
     ceiling_img_s = B / (t_mm + overhead_s)
-    analytic_roofline = peak_flops(dev) / (L * layer_flops_per_image()
-                                           + 2.0 * (N - 1) * D * (16 * 16 * 3)
-                                           * 1.0)  # + patch embed
     print(json.dumps({
         "metric": "mm_only_layer_ms", "value": round(per_layer_ms, 3),
         "mxu_utilization": round(mxu_util, 4),

@@ -541,6 +541,8 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
 
+    mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["mlp"]["fc1_kernel"].shape[-1]
+    fuse_layer = _layer_fusable(d, mlp_dim)
     for i in _layer_ids(enc):
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
@@ -556,7 +558,7 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
-        if tokens.shape[1] >= _MERGED_MIN_TOKENS:
+        if fuse_layer and tokens.shape[1] >= _MERGED_MIN_TOKENS:
             wqkv, bqkv = fold_ln_into_weights(
                 cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
                 cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
@@ -644,6 +646,11 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
             tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
             n_img = keep_max
             n_valid = num_keep
+        if not _layer_fusable(d, lp["mlp"]["fc1_kernel"].shape[-1]):
+            raise NotImplementedError(
+                "padded RankViT engine needs the merged-kernel weight "
+                "budget (use the exact-drop or linen path for models "
+                "beyond ViT-L scale)")
         wqkv, bqkv = fold_ln_into_weights(
             cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
             cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
@@ -788,7 +795,12 @@ def moevit_forward_fused(params, images, *, patch_size: int,
     attn_moes = tuple(attn_moes or (1,) * num_layers)
 
     def gate_probs(y, gp):
-        scores = y @ cast(gp["gate"]["kernel"]) + cast(gp["gate"]["bias"])
+        # gate math in fp32 (like the residual engine's gates): argmax
+        # expert selection is discontinuous, so bf16 rounding of near-tied
+        # scores would swap a token's entire expert output vs linen
+        scores = (y.astype(jnp.float32)
+                  @ gp["gate"]["kernel"].astype(jnp.float32)
+                  + gp["gate"]["bias"].astype(jnp.float32))
         return jax.nn.one_hot(jnp.argmax(scores, axis=-1), scores.shape[-1],
                               dtype=y.dtype)
 
@@ -1242,6 +1254,10 @@ class InferenceEngine:
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if ee_outputs and type(module).__name__ != \
+                "EEResidualVisionTransformer":
+            raise NotImplementedError(
+                "ee_outputs=True needs an EEResidualVisionTransformer")
         if quantized and max_budget is not None:
             # the padded single-compile drop is bf16-only; silently falling
             # back to per-budget quant compiles would no-op the knob

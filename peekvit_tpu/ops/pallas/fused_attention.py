@@ -704,22 +704,6 @@ def _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
             w2, b2.reshape(1, d))
 
 
-@functools.partial(jax.jit, static_argnums=(13, 14, 15, 16))
-def fused_layer_block(x, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
-                      ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
-                      eps: float = 1e-5, interpret: bool = False,
-                      images_per_cell: int = 1):
-    """Merged transformer layer: x + Proj(MHSA(LN1(x))), then + MLP(LN2(.)).
-    One Pallas kernel per layer — see the module comment for the rationale.
-    x: (B, N, D)."""
-    b, n, d = x.shape
-    mi = _safe_images_per_cell(images_per_cell, b, n, d)
-    w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
-                            ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
-    return _merged_call(x, None, None, w, num_heads, eps, "plain",
-                        interpret, mi)
-
-
 @functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
 def masked_layer_block(x, mask, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
                        ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
@@ -733,22 +717,6 @@ def masked_layer_block(x, mask, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
     w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
                             ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
     return _merged_call(x, mask, iom, w, num_heads, eps, "masked",
-                        interpret, mi)
-
-
-@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
-def keymasked_layer_block(x, key_mask, ln1s, ln1b, w_qkv, b_qkv, w_out,
-                          b_out, ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
-                          eps: float = 1e-5, interpret: bool = False,
-                          images_per_cell: int = 1):
-    """Merged layer with TRUE key exclusion in attention (padded RankViT
-    semantics). key_mask: (B, 1, N), 1 = attend, 0 = exclude."""
-    b, n, d = x.shape
-    mi = _safe_images_per_cell(images_per_cell, b, n, d)
-    iok = pl.BlockSpec((mi, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
-                            ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
-    return _merged_call(x, key_mask, iok, w, num_heads, eps, "keymasked",
                         interpret, mi)
 
 

@@ -31,16 +31,9 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from peekvit_tpu.parallel.sequence import _ln
+
 STAGE_AXIS = "stage"
-
-
-def _ln(x, scale, bias, eps):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return ((out * scale.astype(jnp.float32) + bias.astype(jnp.float32))
-            .astype(x.dtype))
 
 
 def stack_stage_params(per_stage_params):

@@ -233,6 +233,10 @@ class Trainer:
         data_axis = None
         if self.mesh is not None and STAGE_AXIS in self.mesh.axis_names:
             mesh = self.mesh
+            if mesh.shape[STAGE_AXIS] != s:
+                raise ValueError(
+                    f"mesh 'stage' axis has {mesh.shape[STAGE_AXIS]} "
+                    f"devices but pipeline_stages={s}")
             from peekvit_tpu.parallel.mesh import DATA_AXIS
 
             # dp x pp composition: batch sharded over 'data', pipeline over

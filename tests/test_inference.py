@@ -482,3 +482,15 @@ def test_encdec_engine_matches_linen_logits():
                              interpret=True)
     got = np.asarray(engine(x, budget=0.7))
     np.testing.assert_allclose(got, np.asarray(logits), rtol=2e-4, atol=2e-4)
+
+
+def test_ee_outputs_rejected_for_non_ee_models():
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10),
+    )
+    with pytest.raises(NotImplementedError, match="ee_outputs"):
+        InferenceEngine(model, interpret=True, ee_outputs=True)

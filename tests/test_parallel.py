@@ -471,3 +471,13 @@ def test_dp_sp_composed_train_step_matches_single_device():
                     jax.tree.leaves(t_sp.model.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_rejects_mismatched_stage_mesh():
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("stage",))
+    t = Trainer(model=_pp_model(), optimizer=Adam(lr=1e-2),
+                pipeline_stages=4, mesh=mesh)
+    with pytest.raises(ValueError, match="stage"):
+        t.train_step(*_data(8))
