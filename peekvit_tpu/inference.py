@@ -675,6 +675,73 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
     return _classify(params, tokens, c, cast, ln_eps)
 
 
+def rankvit_forward_padded_quant(qparams, images, budget, *,
+                                 patch_size: int, num_heads: int,
+                                 rankvit_layers: tuple, max_budget: float,
+                                 num_class_tokens: int = 1,
+                                 ln_eps: float = 1e-5,
+                                 compute_dtype=jnp.bfloat16,
+                                 interpret: bool = False,
+                                 caps=None) -> jax.Array:
+    """Single-compile padded physical drop, int8 w8a8 (the §8 north-star
+    knob composed with the 2x-int8 MXU rate): same traced-budget padded
+    top-k cascade as rankvit_forward_padded, with every layer running the
+    merged int8 kernel (key exclusion via quant_keymasked_layer_block)."""
+    from peekvit_tpu.ops.pallas.quant_blocks import (
+        quant_keymasked_layer_block,
+        quant_layer_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    c = num_class_tokens
+    tokens, d = _embed(qparams, images, patch_size, c, 0, cast)
+    b = tokens.shape[0]
+    enc = qparams["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+
+    n_img = tokens.shape[1] - c
+    n_valid = jnp.float32(n_img)
+    valid = None
+
+    for li, i in enumerate(_layer_ids(enc)):
+        lp = enc[f"layers_{i}"]
+        if i in rankvit_layers:
+            keep_max = min(int(np.ceil(n_img * max_budget)), n_img)
+            img = tokens[:, c:]
+            norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
+            if valid is not None:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+                norms = jnp.where(valid > 0, norms, neg)
+            _, idx = jax.lax.top_k(norms, keep_max)
+            kept = jnp.take_along_axis(img, idx[..., None], axis=1)
+            num_keep = jnp.ceil(n_valid * jnp.asarray(budget, jnp.float32))
+            ranks = jax.lax.broadcasted_iota(jnp.float32, (b, keep_max), 1)
+            valid = (ranks < num_keep).astype(jnp.float32)
+            kept = kept * valid[..., None].astype(kept.dtype)
+            tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
+            n_img = keep_max
+            n_valid = num_keep
+        wargs = (
+            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+            lp["wqkv_q"], lp["sqkv"], cast(lp["bqkv"]),
+            lp["wo_q"], lp["so"], cast(lp["bo"]),
+            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+            lp["w1_q"], lp["s1"], cast(lp["b1"]),
+            lp["w2_q"], lp["s2"], cast(lp["b2"]),
+        )
+        lcaps = caps[li] if caps else None
+        if valid is None:
+            tokens = quant_layer_block(
+                tokens, *wargs, num_heads, ln_eps, interpret, 1, lcaps)
+        else:
+            km = jnp.concatenate(
+                [jnp.ones((b, c), jnp.float32), valid], axis=1
+            ).reshape(b, 1, c + n_img).astype(compute_dtype)
+            tokens = quant_keymasked_layer_block(
+                tokens, km, *wargs, num_heads, ln_eps, interpret, 1, lcaps)
+    return _classify(qparams, tokens, c, cast, ln_eps)
+
+
 def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
                           num_heads: int, rankvit_layers: tuple,
                           num_class_tokens: int = 1, ln_eps: float = 1e-5,
@@ -1258,13 +1325,11 @@ class InferenceEngine:
                 "EEResidualVisionTransformer":
             raise NotImplementedError(
                 "ee_outputs=True needs an EEResidualVisionTransformer")
-        if quantized and max_budget is not None:
-            # the padded single-compile drop is bf16-only; silently falling
-            # back to per-budget quant compiles would no-op the knob
+        if (quantized and max_budget is not None
+                and not getattr(module, "rankvit_layers", None)):
             raise ValueError(
-                "max_budget= (single-compile padded drop) is not implemented "
-                "for quantized=True; use the bf16 engine for a traced budget "
-                "knob or the quantized engine's per-budget compiles")
+                "max_budget= (single-compile padded drop) with "
+                "quantized=True applies to RankViT models only")
         self._mesh = mesh
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
         self._residual = type(module).__name__ in (
@@ -1425,6 +1490,13 @@ class InferenceEngine:
                 self._rank_fns = {}
                 self._rank_fwd = rankvit_forward_quant
                 self._fn = None
+                if max_budget is not None:
+                    # single-compile padded drop, int8: budget is traced
+                    self._rank_max_budget = float(max_budget)
+                    self._fn = self._jit(functools.partial(
+                        rankvit_forward_padded_quant,
+                        max_budget=float(max_budget), **self._rank_common,
+                    ), n_scalar_args=1)
                 return
             self._fn = self._jit(functools.partial(
                 vit_forward_quant,

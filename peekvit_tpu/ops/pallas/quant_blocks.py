@@ -349,8 +349,10 @@ _Q_MERGED_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _q_layer_kernel(x_ref, *refs, num_heads: int, eps: float, caps=None,
-                    masked: bool = False):
-    if masked:
+                    mode: str = "plain"):
+    """Merged int8 layer. ``mode``: 'plain', 'masked' (ResidualViT mask*LN),
+    or 'keymasked' (padded-RankViT key exclusion in attention)."""
+    if mode != "plain":
         (m_ref, lns1, lnb1, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref,
          bo_ref, lns2, lnb2, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
          o_ref) = refs
@@ -364,9 +366,11 @@ def _q_layer_kernel(x_ref, *refs, num_heads: int, eps: float, caps=None,
     scale = 1.0 / (hd ** 0.5)
     x = x_ref[...].reshape(mi * n, d)
     xf = x.astype(jnp.float32)
-    mask = None
-    if masked:
+    mask = kmask = None
+    if mode == "masked":
         mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
+    elif mode == "keymasked":
+        kmask = m_ref[...].reshape(mi, n)
     acaps = caps[0] if caps else None
     mcaps = caps[1] if caps else None
 
@@ -385,7 +389,10 @@ def _q_layer_kernel(x_ref, *refs, num_heads: int, eps: float, caps=None,
         outs = []
         for j in range(mi):
             qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
-            outs.append(_attn_scores_pv(qj, kj, vj, scale).astype(jnp.bfloat16))
+            km = kmask[j] if kmask is not None else None
+            outs.append(
+                _attn_scores_pv(qj, kj, vj, scale, kmask=km).astype(
+                    jnp.bfloat16))
         attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
     attn = jnp.concatenate(attn_cols, axis=-1)
 
@@ -406,7 +413,7 @@ def _q_layer_kernel(x_ref, *refs, num_heads: int, eps: float, caps=None,
     o_ref[...] = out2.reshape(mi, n, d).astype(o_ref.dtype)
 
 
-def _q_layer_call(x, extra, weights, num_heads, eps, caps, masked,
+def _q_layer_call(x, extra, weights, num_heads, eps, caps, mode,
                   interpret, mi):
     b, n, d = x.shape
     m = weights[10].shape[-1]  # w1_q
@@ -418,13 +425,16 @@ def _q_layer_call(x, extra, weights, num_heads, eps, caps, masked,
               full((1, d)), full((1, d)), full((d, m)), full((1, m)),
               full((1, m)), full((m, d)), full((1, d)), full((1, d))]
     extras = []
-    if masked:
+    if mode == "masked":
         extras = [pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
-    args = (x,) + ((extra,) if masked else ()) + tuple(weights)
+    elif mode == "keymasked":
+        extras = [pl.BlockSpec((mi, 1, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    args = (x,) + ((extra,) if mode != "plain" else ()) + tuple(weights)
     return pl.pallas_call(
         functools.partial(_q_layer_kernel, num_heads=num_heads, eps=eps,
-                          caps=caps, masked=masked),
+                          caps=caps, mode=mode),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=[io] + extras + wspecs,
@@ -454,7 +464,7 @@ def quant_layer_block(x, ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
     w = _q_pack(ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
                 ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2, d, w1_q.shape[-1])
-    return _q_layer_call(x, None, w, num_heads, eps, caps, False,
+    return _q_layer_call(x, None, w, num_heads, eps, caps, "plain",
                          interpret, mi)
 
 
@@ -470,5 +480,21 @@ def quant_masked_layer_block(x, mask, ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q,
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
     w = _q_pack(ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
                 ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2, d, w1_q.shape[-1])
-    return _q_layer_call(x, mask, w, num_heads, eps, caps, True,
+    return _q_layer_call(x, mask, w, num_heads, eps, caps, "masked",
+                         interpret, mi)
+
+
+@functools.partial(jax.jit, static_argnums=(18, 19, 20, 21, 22))
+def quant_keymasked_layer_block(x, key_mask, ln1s, ln1b, wqkv_q, sqkv,
+                                b_qkv, wo_q, so, b_out, ln2s, ln2b, w1_q,
+                                s1, b1, w2_q, s2, b2, num_heads: int,
+                                eps: float = 1e-5, interpret: bool = False,
+                                images_per_cell: int = 1, caps=None):
+    """Merged int8 layer with TRUE key exclusion (padded-RankViT
+    semantics). key_mask: (B, 1, N), 1 = attend, 0 = exclude."""
+    b, n, d = x.shape
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    w = _q_pack(ln1s, ln1b, wqkv_q, sqkv, b_qkv, wo_q, so, b_out,
+                ln2s, ln2b, w1_q, s1, b1, w2_q, s2, b2, d, w1_q.shape[-1])
+    return _q_layer_call(x, key_mask, w, num_heads, eps, caps, "keymasked",
                          interpret, mi)

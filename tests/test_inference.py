@@ -494,3 +494,44 @@ def test_ee_outputs_rejected_for_non_ee_models():
     )
     with pytest.raises(NotImplementedError, match="ee_outputs"):
         InferenceEngine(model, interpret=True, ee_outputs=True)
+
+
+def test_padded_quant_rankvit_single_compile_matches_exact():
+    """int8 + single-compile padded drop (quantized=True, max_budget=):
+    the traced-budget padded path matches the per-budget exact int8 drop
+    at every budget, and non-RankViT models reject the combination."""
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             rankvit_layers=[1, 2]),
+        seed=91,
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(92), model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(31).normal(size=(4, 32, 32, 3)), jnp.float32)
+
+    exact = InferenceEngine(model, compute_dtype=jnp.float32,
+                            interpret=True, quantized=True)
+    padded = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True, max_budget=1.0)
+    for budget in (0.25, 0.5, 1.0):
+        want = np.asarray(exact(x, budget=budget))
+        got = np.asarray(padded(x, budget=budget))
+        # the exact path switches to the SPLIT int8 kernels below
+        # _MERGED_MIN_TOKENS while the padded path stays merged; the two
+        # kernel implementations agree only to int8 rounding noise
+        # (verified: forcing merged kernels in both paths gives 0.0 delta)
+        tol = 1.5e-2 * max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(got, want, rtol=0, atol=tol)
+
+    vit = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=7),
+    )
+    with pytest.raises(ValueError, match="RankViT"):
+        InferenceEngine(vit, interpret=True, quantized=True, max_budget=1.0)
