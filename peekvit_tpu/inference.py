@@ -705,6 +705,13 @@ def rankvit_forward_padded_quant(qparams, images, budget, *,
 
     for li, i in enumerate(_layer_ids(enc)):
         lp = enc[f"layers_{i}"]
+        if not _layer_fusable(d, lp["w1_q"].shape[-1], itemsize=1):
+            # same guard as the bf16 padded path: over-budget layers would
+            # die in an opaque Mosaic scoped-vmem error at compile time
+            raise NotImplementedError(
+                "padded int8 RankViT engine needs the merged-kernel weight "
+                "budget (use the exact-drop path for models beyond ViT-L "
+                "scale)")
         if i in rankvit_layers:
             keep_max = min(int(np.ceil(n_img * max_budget)), n_img)
             img = tokens[:, c:]

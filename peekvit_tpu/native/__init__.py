@@ -73,7 +73,17 @@ def load_library():
         _build_error = _build(so)
         if _build_error is not None:
             return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # A concurrent process running a DIFFERENT source revision may have
+        # unlinked our cached .so between the exists check and CDLL (its
+        # _build removes "stale" hashed binaries). Rebuild once instead of
+        # permanently caching a build error for this process.
+        _build_error = _build(so)
+        if _build_error is not None:
+            return None
+        lib = ctypes.CDLL(so)
     lib.pv_decode_transform.restype = ctypes.c_int
     lib.pv_decode_transform.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,

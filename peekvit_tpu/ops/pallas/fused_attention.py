@@ -69,7 +69,23 @@ def _attn_scores_pv(qj, kj, vj, scale, kmask=None):
     )
     e = jnp.exp2(jnp.clip(logits, -80.0, 115.0).astype(qj.dtype))
     if kmask is not None:
-        e = e * kmask[None, :].astype(e.dtype)
+        # Excluded key rows may hold padded garbage (the padded RankViT
+        # engines never re-zero dropped rows after the last rank layer): a
+        # NaN/Inf anywhere in an excluded row's k or v would poison every
+        # query through the ones column / PV matmul (0 * NaN = NaN), so
+        # exclusion must SELECT — not multiply — e to zero (ADVICE r3;
+        # x * 0 keeps NaN). The predicate computes in f32: Mosaic has no
+        # bf16 cmpf on v5e ("Target does not support this comparison").
+        keep = kmask[None, :].astype(jnp.float32) > 0.0
+        e = jnp.where(keep, e, jnp.zeros((), e.dtype))
+        # vj must also be scrubbed of non-finite values: even a selected
+        # zero in e cannot save the PV accumulator from 0 * NaN. Scrubbing
+        # is elementwise (x*0 == 0 iff x is finite) because the row-masked
+        # form ``where(kmask[:, None] > 0, vj, 0)`` needs a lane->sublane
+        # kmask reshape Mosaic cannot lower at unaligned n (measured:
+        # "tpu.reshape (1,1,99) -> (99,1)" compile error on v5e).
+        vz = (vj * jnp.zeros((), vj.dtype)).astype(jnp.float32)
+        vj = jnp.where(vz == 0.0, vj, jnp.zeros((), vj.dtype))
     # rowsum folded into the PV matmul as a ones-column on v: at head_dim
     # 64 the MXU tile is 128 lanes wide anyway, so the extra column is
     # free and the (N, N) VPU reduction disappears (accumulated in the

@@ -148,11 +148,15 @@ class Trainer:
         return self._fused_kind() is not None
 
     def _build_train_step(self):
+        self._train_kind = "linen"
         if self.pipeline_stages and self.pipeline_stages > 1:
+            self._train_kind = "pipeline"
             return self._build_pipeline_train_step()
         if self.sequence_parallel_devices and self.sequence_parallel_devices > 1:
+            self._train_kind = "sp"
             return self._build_sp_train_step()
         if self._fused_eligible():
+            self._train_kind = f"fused_{self._fused_kind()}"
             return self._build_fused_train_step()
         apply_fn = self.model.apply_fn()
         criterion = self.main_criterion
@@ -314,9 +318,15 @@ class Trainer:
             "sequence_parallel_devices")
         s = int(self.sequence_parallel_devices)
         data_axis = None
-        if self.mesh is not None and MODEL_AXIS in self.mesh.axis_names \
-                and self.mesh.shape[MODEL_AXIS] == s:
+        if self.mesh is not None and MODEL_AXIS in self.mesh.axis_names:
             mesh = self.mesh
+            if mesh.shape[MODEL_AXIS] != s:
+                # mirror the pipeline path's mismatched-'stage' ValueError:
+                # silently building a private mesh would drop the user's
+                # intended dp composition (ADVICE r3)
+                raise ValueError(
+                    f"mesh 'model' axis has {mesh.shape[MODEL_AXIS]} "
+                    f"devices but sequence_parallel_devices={s}")
             from peekvit_tpu.parallel.mesh import DATA_AXIS
 
             if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1:
@@ -338,12 +348,16 @@ class Trainer:
             num_class_tokens=getattr(module, "num_class_tokens", 1),
             num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
+            # RankViT budgets flow through the SP forward's cross-shard
+            # ranking cascade (ADVICE r3: a silently-dropped budget would
+            # train at full budget, diverging from the single-device step)
+            rankvit_layers=tuple(getattr(module, "rankvit_layers", ()) or ()),
             data_axis=data_axis,
         )
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):
             def loss_fn(p):
-                ce = criterion(fwd(p, x), y)
+                ce = criterion(fwd(p, x, budget=budget), y)
                 return ce, {"classification_loss": ce, "total_loss": ce}
 
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -442,6 +456,21 @@ class Trainer:
     def train_step(self, x, y, budget=None, noise_value=None, step_idx=0):
         if self._train_step is None:
             self._train_step = self._build_train_step()
+        if budget is not None and getattr(
+                self.model.module, "rankvit_layers", None):
+            # paths without a ranking cascade must not silently train a
+            # RankViT at full budget (ADVICE r3); SP and linen honor it
+            kind = getattr(self, "_train_kind", "linen")
+            if kind == "pipeline":
+                raise NotImplementedError(
+                    "pipeline_stages training has no RankViT ranking path: "
+                    "a train budget would be silently ignored (use "
+                    "sequence_parallel_devices or the single-device step)")
+            if kind == "fused_vit":
+                raise NotImplementedError(
+                    "the fused train path treats RankViT as a plain ViT: "
+                    "pass fused='never' to train with an active ranking "
+                    "budget")
         b = None if budget is None else jnp.float32(budget)
         nv = None if noise_value is None else jnp.float32(noise_value)
         self.model.params, self.opt_state, metrics = self._train_step(

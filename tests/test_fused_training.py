@@ -145,6 +145,12 @@ def test_trainer_fused_rankvit_training():
     model.set_budget(0.5)
     _, aux = model(x)
     assert "layer_1" in aux["masks"]
+    # a train-time budget must not be silently dropped by the fused path
+    # (it treats RankViT as a plain ViT, ADVICE r3): explicit rejection
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="fused"):
+        trainer.train_step(x, y, budget=0.5, step_idx=11)
 
 
 def test_remat_grads_match_no_remat():

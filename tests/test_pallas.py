@@ -137,3 +137,50 @@ def test_fused_mhsa_parity(n):
     got = fused_mhsa(qkv, heads, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_keymasked_block_inert_to_garbage_in_excluded_rows():
+    """Excluded key rows must be fully inert even when they hold NaN/Inf
+    (ADVICE r3: the padded RankViT engines never re-zero dropped rows, and
+    the folded ones-column / e*kmask multiplies propagated 0*NaN=NaN into
+    every query's softmax denominator)."""
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        keymasked_attention_block,
+        keymasked_layer_block_folded,
+    )
+
+    rng = np.random.default_rng(9)
+    b, n, d, h = 2, 12, 32, 4
+    x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    km = jnp.ones((b, 1, n), jnp.float32).at[:, :, -4:].set(0.0)
+    # poison the excluded rows with NaN and Inf
+    bad = x.at[:, -4:-2].set(jnp.nan).at[:, -2:].set(jnp.inf)
+
+    args = dict(
+        ln_scale=jnp.ones((d,)), ln_bias=jnp.zeros((d,)),
+        w_qkv=jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32),
+        b_qkv=jnp.zeros((3 * d,)),
+        w_out=jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32),
+        b_out=jnp.zeros((d,)),
+    )
+    want = keymasked_attention_block(x, km, *args.values(), h, 1e-5, True)
+    got = keymasked_attention_block(bad, km, *args.values(), h, 1e-5, True)
+    # valid rows: unchanged by garbage in excluded rows, and finite
+    np.testing.assert_allclose(np.asarray(got[:, :-4]),
+                               np.asarray(want[:, :-4]), rtol=1e-6, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(got[:, :-4])))
+
+    m = 64
+    wargs = (
+        args["w_qkv"], args["b_qkv"], args["w_out"], args["b_out"],
+        jnp.asarray(rng.normal(size=(d, m)) * 0.1, jnp.float32),
+        jnp.zeros((m,)),
+        jnp.asarray(rng.normal(size=(m, d)) * 0.1, jnp.float32),
+        jnp.zeros((d,)),
+    )
+    want2 = keymasked_layer_block_folded(x, km, *wargs, h, 1e-5, True)
+    got2 = keymasked_layer_block_folded(bad, km, *wargs, h, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(got2[:, :-4]),
+                               np.asarray(want2[:, :-4]),
+                               rtol=1e-6, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(got2[:, :-4])))

@@ -481,3 +481,65 @@ def test_pipeline_rejects_mismatched_stage_mesh():
                 pipeline_stages=4, mesh=mesh)
     with pytest.raises(ValueError, match="stage"):
         t.train_step(*_data(8))
+
+
+def test_sp_rankvit_train_step_matches_single_device():
+    """RankViT trained under SP with an active budget must rank exactly
+    like the single-device linen step (ADVICE r3: the budget used to be
+    silently dropped, training at full budget)."""
+    from peekvit_tpu.training.optim import SGD
+
+    def rank_model():
+        return build_model(
+            "rankvit",
+            dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+                 hidden_dim=32, mlp_dim=64, num_classes=10,
+                 rankvit_layers=[1]),
+            seed=9,
+        )
+
+    x, y = _data(8)
+    t_single = Trainer(model=rank_model(), optimizer=SGD(lr=0.05),
+                       fused=False)
+    t_sp = Trainer(model=rank_model(), optimizer=SGD(lr=0.05), fused=False,
+                   sequence_parallel_devices=8)
+    for i in range(2):
+        m_s = t_single.train_step(x, y, budget=0.5, step_idx=i)
+        m_p = t_sp.train_step(x, y, budget=0.5, step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_sp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+    # and the budget really changed the step (vs full-budget training)
+    t_full = Trainer(model=rank_model(), optimizer=SGD(lr=0.05), fused=False,
+                     sequence_parallel_devices=8)
+    m_f = t_full.train_step(x, y, step_idx=0)
+    assert abs(float(m_f["total_loss"]) - float(m_p["total_loss"])) > 0
+
+
+def test_pipeline_rejects_rankvit_budget():
+    """The pipeline path has no ranking cascade — a RankViT budget raises
+    instead of silently training at full budget (ADVICE r3)."""
+    m = build_model(
+        "rankvit",
+        dict(image_size=16, patch_size=8, num_layers=4, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10, rankvit_layers=[1]),
+    )
+    t = Trainer(model=m, optimizer=Adam(lr=1e-2), pipeline_stages=4)
+    with pytest.raises(NotImplementedError, match="ranking"):
+        t.train_step(*_data(8), budget=0.5)
+    # budget=None trains fine (RankViT == plain ViT without a budget)
+    t.train_step(*_data(8))
+
+
+def test_sp_rejects_mismatched_model_mesh():
+    """A user mesh with a wrong-sized 'model' axis raises (mirrors the
+    pipeline path) instead of silently dropping the dp composition."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    t = Trainer(model=_model(), optimizer=Adam(lr=1e-2),
+                sequence_parallel_devices=4, mesh=mesh)
+    with pytest.raises(ValueError, match="model"):
+        t.train_step(*_data(8))
