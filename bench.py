@@ -46,7 +46,14 @@ def peak_flops(device) -> float:
 
 def device_seconds_per_iter(step_sum_fn, args, reps: int = 20) -> float:
     """Time one on-device iteration of ``step_sum_fn(*args) -> f32 scalar``
-    via nested fori_loop timing (see module docstring)."""
+    via nested fori_loop timing (see module docstring).
+
+    Each wall-clock sample includes one tunnel scalar-fetch RTT; that noise
+    is strictly ADDITIVE, so each of the two samples (loop(1), loop(N+1))
+    is taken as the min of 3 fetches — the standard timeit-style estimator
+    for positive noise — before the (tN - t1)/N subtraction. Without this,
+    RTT jitter divided by N puts a few percent of spread on every
+    measurement (observed on the axon tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,14 +64,17 @@ def device_seconds_per_iter(step_sum_fn, args, reps: int = 20) -> float:
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    float(loop(args, 1))  # compile n=1
-    t0 = time.time()
-    float(loop(args, 1))
-    t1 = time.time() - t0
-    float(loop(args, reps + 1))  # compile n=reps+1
-    t0 = time.time()
-    float(loop(args, reps + 1))
-    tn = time.time() - t0
+    def timed(n, samples: int = 3):
+        float(loop(args, n))  # compile / warm
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.time()
+            float(loop(args, n))
+            best = min(best, time.time() - t0)
+        return best
+
+    t1 = timed(1)
+    tn = timed(reps + 1)
     return (tn - t1) / reps
 
 
@@ -74,7 +84,7 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
     import jax
     import jax.numpy as jnp
 
-    from peekvit_tpu.inference import vit_forward_fused
+    from peekvit_tpu.inference import prepare_engine_params, vit_forward_fused
     from peekvit_tpu.models.registry import build_model
     from peekvit_tpu.utils.flops_count import analytic_macs
 
@@ -86,7 +96,10 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
         dict(image_size=224, patch_size=16, num_layers=12, num_heads=12,
              hidden_dim=768, mlp_dim=3072, num_classes=1000),
     )
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), model.params)
+    # bf16 cast + 1-D vectors pre-shaped to (1, k) — the in-graph bias
+    # reshape before each Pallas call is a relayout kernel XLA won't hoist
+    # (measured 0.114 ms/layer; see inference.prepare_engine_params)
+    params = prepare_engine_params(model.params, jnp.bfloat16)
     on_tpu = jax.default_backend() == "tpu"
     fwd = functools.partial(
         vit_forward_fused, patch_size=16, num_heads=12, interpret=not on_tpu

@@ -87,6 +87,54 @@ def _layer_ids(enc):
     return sorted(int(k.split("_")[1]) for k in enc if k.startswith("layers_"))
 
 
+def _inject_noise(tokens, i, noise_layer, noise_type, noise_value, noise_rng):
+    """NoiseBlock-before-layer-i on the engine path (VERDICT r3 #5): the
+    same ops.noise.apply_noise the linen encoders run, at the same point in
+    the token stream (before block ``noise_layer``, reference
+    utils/utils.py:162-191 + blocks.py:100-186). With the raw rngs['noise']
+    key plumbed through (models/base.py apply_fn) the realization matches
+    linen bitwise at equal dtype — parity-tested in tests/test_inference.py."""
+    if noise_layer is None or i != noise_layer:
+        return tokens
+    from peekvit_tpu.ops.noise import apply_noise
+
+    nv = 0.0 if noise_value is None else noise_value
+    rng = noise_rng if noise_rng is not None else jax.random.key(0)
+    return apply_noise(tokens, noise_type, nv, rng)
+
+
+def prepare_engine_params(params, compute_dtype=None):
+    """Engine-side param preparation, ONCE at construction (round 4):
+
+    - every 1-D vector leaf becomes (1, k): the fused wrappers' in-graph
+      ``(k,) -> (1, k)`` reshapes feeding a Pallas call are real TPU
+      relayout kernels that XLA does NOT hoist out of the forward —
+      measured 0.114 ms/layer at ViT-B bs256 (4.408 -> 4.294, interleaved
+      same-process A/B), i.e. ~1.4 ms per 256-image forward;
+    - fp32 leaves pre-cast to ``compute_dtype`` so the per-call cast()
+      sweeps become no-ops — EXCEPT gate/routing subtrees (residual_gate,
+      budget_token_gate, gating_network: engine gate math is deliberately
+      fp32 because thresholding/argmax is discontinuous) and int8 dequant
+      scales (sqkv/so/s1/s2 stay f32 for dequant precision).
+    """
+    FP_SUBTREES = {"residual_gate", "budget_token_gate", "gating_network"}
+    FP_LEAVES = {"sqkv", "so", "s1", "s2"}
+
+    def visit(path, leaf):
+        leaf = jnp.asarray(leaf)
+        names = [str(getattr(k, "key", k)) for k in path]
+        keep_fp = bool(FP_SUBTREES & set(names)) or (
+            names and names[-1] in FP_LEAVES)
+        if (compute_dtype is not None and not keep_fp
+                and leaf.dtype == jnp.float32):
+            leaf = leaf.astype(compute_dtype)
+        if leaf.ndim == 1 and leaf.shape[0] > 1:
+            leaf = leaf.reshape(1, -1)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
 # VMEM budgets for weights resident in a fused kernel. The merged per-layer
 # kernels raise Mosaic's scoped-vmem limit (v5e has 128 MB of VMEM; the
 # default scoped limit is what round 2 mistook for hardware) and keep the
@@ -120,7 +168,10 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
                       fused_mlp: bool = True,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      noise_layer: Optional[int] = None,
+                      noise_type: str = "gaussian", noise_value=None,
+                      noise_rng=None) -> jax.Array:
     """Eval forward of a plain ViT from its param tree (fused blocks)."""
     from peekvit_tpu.ops.pallas.fused_attention import (
         fold_ln_into_weights,
@@ -144,6 +195,8 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     tokens = tokens + cast(enc["pos_embedding"])
 
     for i in ids:
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
         if fuse_layer:
@@ -443,7 +496,10 @@ def smooth_vit_params(params, smoothing):
 def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
                       num_class_tokens: int = 1, num_registers: int = 0,
                       ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
-                      interpret: bool = False, caps=None) -> jax.Array:
+                      interpret: bool = False, caps=None,
+                      noise_layer: Optional[int] = None,
+                      noise_type: str = "gaussian", noise_value=None,
+                      noise_rng=None) -> jax.Array:
     """int8 (w8a8) eval forward from quantize_vit_params output.
 
     Applies the same VMEM-budget guards as the bf16 path (itemsize=1 for
@@ -468,6 +524,8 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
     tokens = tokens + cast(enc["pos_embedding"])
 
     for li, i in enumerate(_layer_ids(enc)):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         acaps = caps[li][0] if caps else None
         mcaps = caps[li][1] if caps else None
@@ -516,7 +574,10 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
                           num_heads: int, rankvit_layers: tuple,
                           num_class_tokens: int = 1, ln_eps: float = 1e-5,
                           compute_dtype=jnp.bfloat16,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          noise_layer: Optional[int] = None,
+                          noise_type: str = "gaussian", noise_value=None,
+                          noise_rng=None) -> jax.Array:
     """RankViT eval forward with PHYSICAL token dropping.
 
     The linen RankViT is jit-stable across budgets (mask + key_mask algebra,
@@ -544,6 +605,11 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
     mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["mlp"]["fc1_kernel"].shape[-1]
     fuse_layer = _layer_fusable(d, mlp_dim)
     for i in _layer_ids(enc):
+        # noise precedes the rank update (linen order); engine noise is
+        # restricted to noise_layer <= first ranked layer so the token
+        # layout still matches linen's (InferenceEngine guards this)
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
             # f32 product + ceil matches the linen _rank_update (and the
@@ -594,7 +660,10 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
                            num_heads: int, rankvit_layers: tuple,
                            max_budget: float, num_class_tokens: int = 1,
                            ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           noise_layer: Optional[int] = None,
+                           noise_type: str = "gaussian", noise_value=None,
+                           noise_rng=None) -> jax.Array:
     """Single-compile physical token drop (the SURVEY §8 north-star design).
 
     ``budget`` is a TRACED scalar — the whole sweep over budgets in
@@ -627,6 +696,8 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
     valid = None                         # (B, n_img) in {0,1}; None = all
 
     for i in _layer_ids(enc):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
         if i in rankvit_layers:
@@ -682,7 +753,11 @@ def rankvit_forward_padded_quant(qparams, images, budget, *,
                                  ln_eps: float = 1e-5,
                                  compute_dtype=jnp.bfloat16,
                                  interpret: bool = False,
-                                 caps=None) -> jax.Array:
+                                 caps=None,
+                                 noise_layer: Optional[int] = None,
+                                 noise_type: str = "gaussian",
+                                 noise_value=None,
+                                 noise_rng=None) -> jax.Array:
     """Single-compile padded physical drop, int8 w8a8 (the §8 north-star
     knob composed with the 2x-int8 MXU rate): same traced-budget padded
     top-k cascade as rankvit_forward_padded, with every layer running the
@@ -704,6 +779,8 @@ def rankvit_forward_padded_quant(qparams, images, budget, *,
     valid = None
 
     for li, i in enumerate(_layer_ids(enc)):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         if not _layer_fusable(d, lp["w1_q"].shape[-1], itemsize=1):
             # same guard as the bf16 padded path: over-budget layers would
@@ -753,7 +830,10 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
                           num_heads: int, rankvit_layers: tuple,
                           num_class_tokens: int = 1, ln_eps: float = 1e-5,
                           compute_dtype=jnp.bfloat16,
-                          interpret: bool = False, caps=None) -> jax.Array:
+                          interpret: bool = False, caps=None,
+                          noise_layer: Optional[int] = None,
+                          noise_type: str = "gaussian", noise_value=None,
+                          noise_rng=None) -> jax.Array:
     """int8 w8a8 + physical token dropping: the sparse serving fast path.
 
     Composes rankvit_forward_fused's static top-k gather with the int8
@@ -780,6 +860,8 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     tokens = tokens + cast(enc["pos_embedding"])
 
     for li, i in enumerate(_layer_ids(enc)):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         if i in rankvit_layers and budget < 1.0:
             n_alive = tokens.shape[1] - c
             n_keep = int(np.ceil(np.float32(n_alive) * np.float32(budget)))
@@ -836,7 +918,10 @@ def moevit_forward_fused(params, images, *, patch_size: int,
                          num_heads: int, mlp_moes=None, attn_moes=None,
                          num_layers: int = 0, ln_eps: float = 1e-5,
                          compute_dtype=jnp.bfloat16,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         noise_layer: Optional[int] = None,
+                         noise_type: str = "gaussian", noise_value=None,
+                         noise_rng=None) -> jax.Array:
     """Fused eval forward for VisionTransformerMoE (VERDICT r2 #5).
 
     Single-expert sublayers run the merged folded Pallas layer (or the
@@ -880,6 +965,8 @@ def moevit_forward_fused(params, images, *, patch_size: int,
 
     fusable = _layer_fusable(d, _first_mlp_dim_moe(enc))
     for li, i in enumerate(_layer_ids(enc)):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
         mlp = lp["mlp"]
@@ -973,6 +1060,197 @@ def _first_mlp_dim_moe(enc) -> int:
     return lp["experts"]["fc1_kernel"].shape[-1]
 
 
+def quantize_moevit_params(params):
+    """int8 tree for VisionTransformerMoE (VERDICT r3 #8): every expert's
+    four mats go symmetric per-output-channel int8 (stacked experts keep
+    their leading E axis with (E, 1, out) scales); gating networks, LNs,
+    embed and head stay fp."""
+    from peekvit_tpu.ops.pallas.quant_blocks import quantize_linear
+
+    def q_stacked(w):  # (E, in, out) -> int8 + (E, 1, out) scales
+        w = w.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return wq, scale
+
+    q = {"conv_proj": params["conv_proj"],
+         "class_token": params["class_token"], "head": params["head"],
+         "encoder": {"pos_embedding": params["encoder"]["pos_embedding"],
+                     "ln": params["encoder"]["ln"]}}
+    for name, lp in params["encoder"].items():
+        if not name.startswith("layers_"):
+            continue
+        at, mlp = lp["self_attention"], lp["mlp"]
+        qat = {}
+        if "experts_0" in at:
+            a0 = at["experts_0"]
+            qat["wqkv_q"], qat["sqkv"] = quantize_linear(a0["in_proj_kernel"])
+            qat["bqkv"] = a0["in_proj_bias"]
+            qat["wo_q"], qat["so"] = quantize_linear(a0["out_proj_kernel"])
+            qat["bo"] = a0["out_proj_bias"]
+        else:
+            ex = at["experts"]
+            qat["wqkv_q"], qat["sqkv"] = q_stacked(ex["in_proj_kernel"])
+            qat["bqkv"] = ex["in_proj_bias"]
+            qat["wo_q"], qat["so"] = q_stacked(ex["out_proj_kernel"])
+            qat["bo"] = ex["out_proj_bias"]
+            qat["gating_network"] = at["gating_network"]
+        qmlp = {}
+        if "experts_0" in mlp:
+            m0 = mlp["experts_0"]
+            qmlp["w1_q"], qmlp["s1"] = quantize_linear(m0["fc1_kernel"])
+            qmlp["b1"] = m0["fc1_bias"]
+            qmlp["w2_q"], qmlp["s2"] = quantize_linear(m0["fc2_kernel"])
+            qmlp["b2"] = m0["fc2_bias"]
+        else:
+            ex = mlp["experts"]
+            qmlp["w1_q"], qmlp["s1"] = q_stacked(ex["fc1_kernel"])
+            qmlp["b1"] = ex["fc1_bias"]
+            qmlp["w2_q"], qmlp["s2"] = q_stacked(ex["fc2_kernel"])
+            qmlp["b2"] = ex["fc2_bias"]
+            qmlp["gating_network"] = mlp["gating_network"]
+        q["encoder"][name] = {"ln_1": lp["ln_1"], "ln_2": lp["ln_2"],
+                              "self_attention": qat, "mlp": qmlp}
+    return q
+
+
+def moevit_forward_quant(qparams, images, *, patch_size: int,
+                         num_heads: int, mlp_moes=None, attn_moes=None,
+                         num_layers: int = 0, ln_eps: float = 1e-5,
+                         compute_dtype=jnp.bfloat16,
+                         interpret: bool = False,
+                         noise_layer: Optional[int] = None,
+                         noise_type: str = "gaussian", noise_value=None,
+                         noise_rng=None) -> jax.Array:
+    """int8 (w8a8) eval forward for VisionTransformerMoE (VERDICT r3 #8).
+
+    Single-expert sublayers run the merged int8 Pallas kernels; MoE
+    sublayers keep the reference's DENSE top-1 combine (moevit.py:49-61)
+    with every expert's matmuls in int8 via the XLA w8a8 path
+    (quant_blocks._quant_linear_xla) — gate math stays fp32 (argmax expert
+    selection is discontinuous, so quantization noise on near-tied scores
+    would swap whole expert outputs)."""
+    from peekvit_tpu.ops.attention import attention_core
+    from peekvit_tpu.ops.pallas.quant_blocks import (
+        _quant_linear_xla,
+        quant_attention_block,
+        quant_layer_block,
+        quant_mlp_block,
+    )
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    x = cast(images)
+    wconv = cast(qparams["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    tokens = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        qparams["conv_proj"]["bias"])
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(cast(qparams["class_token"]), (b, 1, d))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    enc = qparams["encoder"]
+    tokens = tokens + cast(enc["pos_embedding"])
+    mlp_moes = tuple(mlp_moes or (1,) * num_layers)
+    attn_moes = tuple(attn_moes or (1,) * num_layers)
+
+    def gate_probs(y, gp):
+        scores = (y.astype(jnp.float32)
+                  @ gp["gate"]["kernel"].astype(jnp.float32)
+                  + gp["gate"]["bias"].astype(jnp.float32))
+        return jax.nn.one_hot(jnp.argmax(scores, axis=-1), scores.shape[-1],
+                              dtype=jnp.float32)
+
+    ids = _layer_ids(enc)
+    mlp_dim = (enc[f"layers_{ids[0]}"]["mlp"]["w1_q"].shape[-1])
+    fusable = _layer_fusable(d, mlp_dim, itemsize=1)
+    for li, i in enumerate(ids):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
+        lp = enc[f"layers_{i}"]
+        at, mlp = lp["self_attention"], lp["mlp"]
+        attn_single = attn_moes[li] == 1
+        mlp_single = mlp_moes[li] == 1
+        if attn_single and mlp_single and fusable:
+            tokens = quant_layer_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                at["wqkv_q"], at["sqkv"], cast(at["bqkv"]),
+                at["wo_q"], at["so"], cast(at["bo"]),
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                mlp["w1_q"], mlp["s1"], cast(mlp["b1"]),
+                mlp["w2_q"], mlp["s2"], cast(mlp["b2"]),
+                num_heads, ln_eps, interpret, 1, None,
+            )
+            continue
+        # ---- attention sublayer
+        if attn_single and fusable:
+            tokens = quant_attention_block(
+                tokens, cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                at["wqkv_q"], at["sqkv"], cast(at["bqkv"]),
+                at["wo_q"], at["so"], cast(at["bo"]),
+                num_heads, ln_eps, interpret, 2, None,
+            )
+        else:
+            y = _layer_norm(tokens, cast(lp["ln_1"]["scale"]),
+                            cast(lp["ln_1"]["bias"]), ln_eps)
+            if attn_single:
+                qkv = _quant_linear_xla(y, at["wqkv_q"], at["sqkv"],
+                                        at["bqkv"]).astype(compute_dtype)
+                q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+                o = attention_core(q_, k_, v_, num_heads)
+                tokens = tokens + _quant_linear_xla(
+                    o, at["wo_q"], at["so"], at["bo"]).astype(tokens.dtype)
+            else:
+                probs = gate_probs(y, at["gating_network"])
+                outs = []
+                for e in range(attn_moes[li]):  # dense experts (reference)
+                    qkv = _quant_linear_xla(
+                        y, at["wqkv_q"][e], at["sqkv"][e],
+                        at["bqkv"][e]).astype(compute_dtype)
+                    q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+                    o = attention_core(q_, k_, v_, num_heads)
+                    outs.append(_quant_linear_xla(
+                        o, at["wo_q"][e], at["so"][e], at["bo"][e]))
+                combined = jnp.einsum("ebsd,bse->bsd", jnp.stack(outs),
+                                      probs)
+                tokens = tokens + combined.astype(tokens.dtype)
+        # ---- MLP sublayer
+        if mlp_single and fusable:
+            tokens = quant_mlp_block(
+                tokens, cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                mlp["w1_q"], mlp["s1"], cast(mlp["b1"]),
+                mlp["w2_q"], mlp["s2"], cast(mlp["b2"]),
+                ln_eps, interpret, 2, None,
+            )
+        else:
+            z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                            cast(lp["ln_2"]["bias"]), ln_eps)
+            if mlp_single:
+                h = jax.nn.gelu(_quant_linear_xla(
+                    z, mlp["w1_q"], mlp["s1"], mlp["b1"]),
+                    approximate=False).astype(compute_dtype)
+                tokens = tokens + _quant_linear_xla(
+                    h, mlp["w2_q"], mlp["s2"],
+                    mlp["b2"]).astype(tokens.dtype)
+            else:
+                probs = gate_probs(z, mlp["gating_network"])
+                outs = []
+                for e in range(mlp_moes[li]):
+                    h = jax.nn.gelu(_quant_linear_xla(
+                        z, mlp["w1_q"][e], mlp["s1"][e], mlp["b1"][e]),
+                        approximate=False).astype(compute_dtype)
+                    outs.append(_quant_linear_xla(
+                        h, mlp["w2_q"][e], mlp["s2"][e], mlp["b2"][e]))
+                combined = jnp.einsum("ebsd,bse->bsd", jnp.stack(outs),
+                                      probs)
+                tokens = tokens + combined.astype(tokens.dtype)
+
+    cls_out = _layer_norm(tokens[:, :1], cast(enc["ln"]["scale"]),
+                          cast(enc["ln"]["bias"]), ln_eps)[:, 0]
+    logits = cls_out @ cast(qparams["head"]["kernel"]) + cast(
+        qparams["head"]["bias"])
+    return logits.astype(jnp.float32)
+
+
 def adavit_forward_fused(params, images, *, patch_size: int,
                          num_heads: int, num_layers: int,
                          num_class_tokens: int = 1, num_registers: int = 0,
@@ -1043,6 +1321,9 @@ def quantize_residualvit_params(params):
     budget-token params and LNs stay fp; the four big mats go int8."""
     q = quantize_vit_params(params)
     for name, lp in params["encoder"].items():
+        if name.startswith("early_exit_heads_"):
+            q["encoder"][name] = lp  # EE heads: tiny, stay fp
+            continue
         if not name.startswith("layers_"):
             continue
         q["encoder"][name]["residual_gate"] = lp["residual_gate"]
@@ -1062,7 +1343,11 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = False,
                               pmean_axis: Optional[str] = None,
-                              caps=None) -> jax.Array:
+                              caps=None,
+                              early_exits: bool = False,
+                              noise_layer: Optional[int] = None,
+                              noise_type: str = "gaussian", noise_value=None,
+                              noise_rng=None):
     """int8 (w8a8) ResidualViT eval forward — the gated model's quantized
     serving path; gate math identical to residualvit_forward_fused.
     Over-VMEM-budget layers fall back to the XLA w8a8 masked path.
@@ -1103,8 +1388,11 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
     btok = jnp.broadcast_to(btok, (b, 1, d))
     tokens = jnp.concatenate([tokens, btok], axis=1)
     s = c + num_registers
+    exits = []
 
     for li, i in enumerate(_layer_ids(enc)):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         acaps = caps[li][0] if caps else None
         mcaps = caps[li][1] if caps else None
@@ -1144,6 +1432,13 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                 num_heads, 1e-6, interpret, 1,
                 caps[li] if caps else None,
             )
+            if early_exits:
+                ln_p = enc[f"early_exit_heads_{i}_ln"]
+                hd_p = enc[f"early_exit_heads_{i}_head"]
+                cls_i = _layer_norm(tokens[:, :c], cast(ln_p["scale"]),
+                                    cast(ln_p["bias"]), 1e-5)[:, 0]
+                exits.append((cls_i @ cast(hd_p["kernel"])
+                              + cast(hd_p["bias"])).astype(jnp.float32))
             continue
         if fuse_attn:
             tokens = quant_masked_attention_block(
@@ -1175,8 +1470,20 @@ def residualvit_forward_quant(qparams, images, budget, *, patch_size: int,
                 lp["w2_q"], lp["s2"], lp["b2"], 1e-6, mask=fwd_mask,
                 caps=mcaps,
             )
+        if early_exits:
+            # per-layer LN -> Dense exit heads on the class tokens (fp —
+            # tiny next to the blocks; eeresidualvit.py:75-76 semantics)
+            ln_p = enc[f"early_exit_heads_{i}_ln"]
+            hd_p = enc[f"early_exit_heads_{i}_head"]
+            cls_i = _layer_norm(tokens[:, :c], cast(ln_p["scale"]),
+                                cast(ln_p["bias"]), 1e-5)[:, 0]
+            exits.append((cls_i @ cast(hd_p["kernel"])
+                          + cast(hd_p["bias"])).astype(jnp.float32))
 
-    return _classify(qparams, tokens, c, cast, ln_eps=1e-5)
+    final = _classify(qparams, tokens, c, cast, ln_eps=1e-5)
+    if early_exits:
+        return tuple(exits) + (final,)
+    return final
 
 
 def residualvit_forward_fused(params, images, budget, *, patch_size: int,
@@ -1187,7 +1494,10 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               compute_dtype=jnp.bfloat16,
                               interpret: bool = False,
                               pmean_axis: Optional[str] = None,
-                              early_exits: bool = False):
+                              early_exits: bool = False,
+                              noise_layer: Optional[int] = None,
+                              noise_type: str = "gaussian", noise_value=None,
+                              noise_rng=None):
     """Fused ResidualViT eval forward (sigmoid gates, 'attention+mlp' skip —
     the mode every shipped config uses, SURVEY.md §7.6).
 
@@ -1232,6 +1542,8 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     exits = []
 
     for i in _layer_ids(enc):
+        tokens = _inject_noise(tokens, i, noise_layer, noise_type,
+                               noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         # ---- gate (XLA: Dense(1) + shift; reference :58-69,154-165)
         img = tokens[:, s:-1]
@@ -1319,6 +1631,24 @@ class InferenceEngine:
             out_specs=P(DATA_AXIS), check_rep=False,
         ))
 
+    def _jit_noise(self, fwd, n_scalar_args: int = 0):
+        """Like _jit, but when the model carries a NoiseBlock
+        (module.noise_layer) the compiled fn takes two extra trailing
+        operands (noise_value, noise_rng) and injects the noise before
+        layer ``noise_layer`` exactly like the linen encoder (VERDICT r3
+        #5: noise sweeps stay on the engine path)."""
+        if self._noise is None:
+            return self._jit(fwd, n_scalar_args)
+        nl, nt = self._noise
+        base = functools.partial(fwd, noise_layer=nl, noise_type=nt)
+
+        def with_noise(params, images, *rest):
+            scalars, nv, nr = rest[:-2], rest[-2], rest[-1]
+            return base(params, images, *scalars, noise_value=nv,
+                        noise_rng=nr)
+
+        return self._jit(with_noise, n_scalar_args + 2)
+
     def __init__(self, model, compute_dtype=jnp.bfloat16,
                  interpret: Optional[bool] = None, quantized: bool = False,
                  max_budget: Optional[float] = None,
@@ -1328,6 +1658,10 @@ class InferenceEngine:
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        self._noise = None
+        if getattr(module, "noise_layer", None) is not None:
+            self._noise = (int(module.noise_layer),
+                           getattr(module, "noise_type", "gaussian"))
         if ee_outputs and type(module).__name__ != \
                 "EEResidualVisionTransformer":
             raise NotImplementedError(
@@ -1339,6 +1673,12 @@ class InferenceEngine:
                 "quantized=True applies to RankViT models only")
         self._mesh = mesh
         self._rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
+        if (self._noise is not None and self._rank_layers
+                and self._noise[0] > min(self._rank_layers)):
+            raise NotImplementedError(
+                "engine noise must precede the first ranked layer (the "
+                "physical drop changes the token layout the NoiseBlock "
+                "samples over); use the linen path for a later noise_layer")
         self._residual = type(module).__name__ in (
             "ResidualVisionTransformer",
             "EEResidualVisionTransformer",
@@ -1346,8 +1686,18 @@ class InferenceEngine:
         )
         if type(module).__name__ == "AdaptiveVisionTransformer":
             if quantized or max_budget is not None:
-                raise NotImplementedError("the A-ViT engine is bf16-only")
-            self.params = model.params
+                raise NotImplementedError(
+                    "the A-ViT engine is bf16-only by design: int8 would "
+                    "quantize the halting-score inputs feeding the hard "
+                    "ACT threshold c > 1-eps (token depths flip vs linen), "
+                    "and the merged avit-mode masked kernels have no quant "
+                    "variants (COMPONENTS.md)")
+            if self._noise is not None:
+                raise NotImplementedError(
+                    "A-ViT applies noise inside the scanned ACT step with a "
+                    "per-step make_rng split; use the linen path for A-ViT "
+                    "noise sweeps")
+            self.params = prepare_engine_params(model.params, compute_dtype)
             self._fn = self._jit(functools.partial(
                 adavit_forward_fused,
                 patch_size=module.patch_size,
@@ -1363,11 +1713,27 @@ class InferenceEngine:
             ))
             return
         if type(module).__name__ == "VisionTransformerMoE":
-            if quantized or max_budget is not None:
+            if max_budget is not None:
                 raise NotImplementedError(
-                    "the MoE engine is bf16-only (dense top-1 experts)")
-            self.params = model.params
-            self._fn = self._jit(functools.partial(
+                    "max_budget= (padded rank drop) does not apply to MoE")
+            if quantized:
+                self.params = prepare_engine_params(
+                    quantize_moevit_params(model.params), compute_dtype)
+                self._fn = self._jit_noise(functools.partial(
+                    moevit_forward_quant,
+                    patch_size=module.patch_size,
+                    num_heads=module.num_heads,
+                    mlp_moes=(tuple(module.mlp_moes)
+                              if module.mlp_moes else None),
+                    attn_moes=(tuple(module.attn_moes)
+                               if module.attn_moes else None),
+                    num_layers=module.num_layers,
+                    compute_dtype=compute_dtype,
+                    interpret=interpret,
+                ))
+                return
+            self.params = prepare_engine_params(model.params, compute_dtype)
+            self._fn = self._jit_noise(functools.partial(
                 moevit_forward_fused,
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
@@ -1395,10 +1761,9 @@ class InferenceEngine:
             # training/visualization artifact; use the linen path for
             # reconstructions).
             is_ee = type(module).__name__ == "EEResidualVisionTransformer"
-            if ee_outputs and (not is_ee or quantized):
+            if ee_outputs and not is_ee:
                 raise NotImplementedError(
-                    "ee_outputs=True needs an (unquantized) "
-                    "EEResidualVisionTransformer")
+                    "ee_outputs=True needs an EEResidualVisionTransformer")
             common = dict(
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
@@ -1443,13 +1808,16 @@ class InferenceEngine:
                                 "patch_size", "num_heads",
                                 "num_class_tokens", "num_registers",
                                 "gate_temp", "gate_bias", "budget_token")})
-                self.params = quantize_residualvit_params(qsource)
-                self._fn = self._jit(functools.partial(
-                    residualvit_forward_quant, caps=caps, **common),
+                self.params = prepare_engine_params(
+                    quantize_residualvit_params(qsource), compute_dtype)
+                self._fn = self._jit_noise(functools.partial(
+                    residualvit_forward_quant, caps=caps,
+                    early_exits=bool(ee_outputs), **common),
                     n_scalar_args=1)
             else:
-                self.params = model.params
-                self._fn = self._jit(functools.partial(
+                self.params = prepare_engine_params(model.params,
+                                                    compute_dtype)
+                self._fn = self._jit_noise(functools.partial(
                     residualvit_forward_fused,
                     early_exits=bool(ee_outputs), **common), n_scalar_args=1)
             return
@@ -1478,7 +1846,8 @@ class InferenceEngine:
                     caps = collect_activation_caps(
                         qsource, jnp.asarray(calib_images),
                         percentile=calib_percentile, **geom)
-            self.params = quantize_vit_params(qsource)
+            self.params = prepare_engine_params(
+                quantize_vit_params(qsource), compute_dtype)
             if self._rank_layers:
                 # int8 + physical token drop: one jitted fn per budget
                 # (caps calibrated at full token count; a high percentile
@@ -1500,12 +1869,12 @@ class InferenceEngine:
                 if max_budget is not None:
                     # single-compile padded drop, int8: budget is traced
                     self._rank_max_budget = float(max_budget)
-                    self._fn = self._jit(functools.partial(
+                    self._fn = self._jit_noise(functools.partial(
                         rankvit_forward_padded_quant,
                         max_budget=float(max_budget), **self._rank_common,
                     ), n_scalar_args=1)
                 return
-            self._fn = self._jit(functools.partial(
+            self._fn = self._jit_noise(functools.partial(
                 vit_forward_quant,
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
@@ -1532,19 +1901,31 @@ class InferenceEngine:
             if max_budget is not None:
                 # single-compile padded drop: budget is a traced operand
                 self._rank_max_budget = float(max_budget)
-                self._fn = self._jit(functools.partial(
+                self._fn = self._jit_noise(functools.partial(
                     rankvit_forward_padded, max_budget=float(max_budget),
                     **self._rank_common,
                 ), n_scalar_args=1)
         else:
-            self._fn = self._jit(functools.partial(
+            self._fn = self._jit_noise(functools.partial(
                 vit_forward_fused,
                 num_registers=getattr(module, "num_registers", 0),
                 **common,
             ))
-        self.params = model.params
+        self.params = prepare_engine_params(model.params, compute_dtype)
 
-    def __call__(self, images, budget: Optional[float] = None) -> jax.Array:
+    def __call__(self, images, budget: Optional[float] = None,
+                 noise_value=None, noise_rng=None) -> jax.Array:
+        extra = ()
+        if self._noise is not None:
+            # defaults match the linen eval step's rngs={'noise': key(0)}
+            extra = (jnp.float32(0.0 if noise_value is None
+                                 else noise_value),
+                     noise_rng if noise_rng is not None
+                     else jax.random.key(0))
+        elif noise_value is not None:
+            raise ValueError(
+                "engine was built without a noise layer (model.noise_args); "
+                "noise_value= has no effect here")
         if self._mesh is not None:
             from peekvit_tpu.parallel.mesh import DATA_AXIS
 
@@ -1556,7 +1937,7 @@ class InferenceEngine:
                     "serving (shard_map splits the batch evenly)")
         if getattr(self, "_residual", False):
             b = 1.0 if budget is None else budget
-            return self._fn(self.params, images, jnp.float32(b))
+            return self._fn(self.params, images, jnp.float32(b), *extra)
         if self._rank_layers:
             b = 1.0 if budget is None else float(budget)
             if getattr(self, "_rank_max_budget", None) is not None:
@@ -1565,11 +1946,11 @@ class InferenceEngine:
                         f"budget {b} exceeds the engine's static "
                         f"max_budget {self._rank_max_budget}"
                     )
-                return self._fn(self.params, images, jnp.float32(b))
+                return self._fn(self.params, images, jnp.float32(b), *extra)
             if b not in self._rank_fns:
                 fwd = getattr(self, "_rank_fwd", rankvit_forward_fused)
-                self._rank_fns[b] = self._jit(functools.partial(
+                self._rank_fns[b] = self._jit_noise(functools.partial(
                     fwd, budget=b, **self._rank_common
                 ))
-            return self._rank_fns[b](self.params, images)
-        return self._fn(self.params, images)
+            return self._rank_fns[b](self.params, images, *extra)
+        return self._fn(self.params, images, *extra)

@@ -83,8 +83,18 @@ class Model:
         """
         module = self.module
         state = self.state
+        # modules with an explicit noise_rng param receive the RAW
+        # rngs["noise"] key (not the path-folded make_rng derivation), so
+        # the fused engines can reproduce linen noise bitwise
+        import inspect
+
+        takes_noise_rng = "noise_rng" in inspect.signature(
+            type(module).__call__).parameters
 
         def fn(params, x, budget, noise_value, rngs, train=False):
+            kw = {}
+            if takes_noise_rng and rngs and "noise" in rngs:
+                kw["noise_rng"] = rngs["noise"]
             return module.apply(
                 {"params": params, **state},
                 x,
@@ -92,6 +102,7 @@ class Model:
                 budget=budget,
                 noise_value=noise_value,
                 rngs=rngs,
+                **kw,
             )
 
         return fn

@@ -56,6 +56,7 @@ class EEResidualViTEncoder(nn.Module):
         *,
         train: bool = False,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         pos = self.param(
             "pos_embedding",
@@ -77,7 +78,8 @@ class EEResidualViTEncoder(nn.Module):
                     tokens,
                     self.noise_type,
                     0.0 if noise_value is None else noise_value,
-                    self.make_rng("noise"),
+                    noise_rng if noise_rng is not None
+                    else self.make_rng("noise"),
                 )
             tokens, mask = ResidualViTBlock(
                 self.num_heads,
@@ -216,6 +218,7 @@ class EEResidualVisionTransformer(nn.Module):
         train: bool = False,
         budget: Optional[jax.Array] = None,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         n = x.shape[0]
         tokens = self.conv_proj(x)
@@ -240,7 +243,7 @@ class EEResidualVisionTransformer(nn.Module):
                 [tokens, self._budget_token(current_budget, n)], axis=1
             )
         tokens, early_exits, masks = self.encoder(
-            tokens, train=train, noise_value=noise_value
+            tokens, train=train, noise_value=noise_value, noise_rng=noise_rng
         )
         final = self.head(jnp.sum(tokens[:, : self.num_class_tokens], axis=1))
         outs = tuple(early_exits) + (final,)

@@ -153,6 +153,7 @@ class ResidualVisionTransformerWithDecoder(nn.Module):
         train: bool = False,
         budget: Optional[jax.Array] = None,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         n = x.shape[0]
         tokens = self.conv_proj(x)
@@ -171,7 +172,9 @@ class ResidualVisionTransformerWithDecoder(nn.Module):
             current_budget = jnp.asarray(budget, jnp.float32)
         tokens = jnp.concatenate([tokens, self._budget_token(current_budget, n)], axis=1)
 
-        tokens, masks = self.encoder(tokens, train=train, noise_value=noise_value)
+        tokens, masks = self.encoder(tokens, train=train,
+                                     noise_value=noise_value,
+                                     noise_rng=noise_rng)
         logits = self.head(jnp.sum(tokens[:, : self.num_class_tokens], axis=1))
 
         # image tokens only: strip class/register tokens and the budget token

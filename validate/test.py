@@ -69,10 +69,13 @@ def validate(model, cfg, dataset, experiment_dir, logger):
     criterion = CrossEntropyLoss()
 
     # fused Pallas engine for the ViT/RankViT/Residual/MoE/A-ViT families
-    # (parity-tested in tests/test_inference.py); linen path for everything
-    # else or when a noise sweep is active.
+    # (parity-tested in tests/test_inference.py); noise sweeps stay on the
+    # engine path too (VERDICT r3 #5) — the engines inject the NoiseBlock
+    # in-loop. Falls back to linen when the engine rejects the model/noise
+    # combination (A-ViT noise, noise after a ranked layer, odd residual
+    # modes).
     engine = None
-    if tcfg.get("use_fused_engine", True) and noises == [None] and (
+    if tcfg.get("use_fused_engine", True) and (
         type(model.module).__name__ in
         ("VisionTransformer", "RankVisionTransformer",
          "ResidualVisionTransformer", "VisionTransformerMoE",
@@ -90,7 +93,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
             print("eval path: fused InferenceEngine"
                   + (" (int8 w8a8)" if tcfg.get("quantized") else ""),
                   flush=True)
-        except NotImplementedError as e:  # unsupported residual mode
+        except NotImplementedError as e:  # unsupported mode
             print(f"fused engine unavailable ({e}); linen eval path", flush=True)
 
     @jax.jit
@@ -125,8 +128,9 @@ def validate(model, cfg, dataset, experiment_dir, logger):
             # images/sec reflects steady state, not the first trace
             warm = next(iter(prefetch_to_device(iter(val_loader), size=1)))
             if engine is not None:
-                _ = engine(warm[0], budget=b) if model.accepts_budget \
-                    else engine(warm[0])
+                _ = engine(warm[0], budget=b, noise_value=nv) \
+                    if model.accepts_budget \
+                    else engine(warm[0], noise_value=nv)
             else:
                 eval_step(model.params, warm[0], warm[1], bb, nn_)
             t0 = time.time()
@@ -134,8 +138,8 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                 if flops_batch is None:
                     flops_batch = x
                 if engine is not None:
-                    logits = engine(x, budget=b) if model.accepts_budget \
-                        else engine(x)
+                    logits = engine(x, budget=b, noise_value=nv) \
+                        if model.accepts_budget else engine(x, noise_value=nv)
                     c = jnp.sum(jnp.argmax(logits, -1) == y)
                 else:
                     c, _, _ = eval_step(model.params, x, y, bb, nn_)
@@ -158,12 +162,20 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         bs = int(flops_batch.shape[0])
         y0 = jnp.zeros((bs,), jnp.int32)
         if engine is not None:
+            # noise-carrying engines take two extra operands; time at the
+            # sweep's first noise value (reference test.py times inside the
+            # noise loop)
+            extra = ()
+            if getattr(engine, "_noise", None) is not None:
+                nv0 = 0.0 if noises[0] is None else noises[0]
+                extra = (jnp.float32(nv0), jax.random.key(0))
             if getattr(engine, "_residual", False):
                 eng_fn = engine._fn
                 bb_t = jnp.float32(1.0 if b is None else b)
 
                 def step_sum(params, x, carry):
-                    return jnp.sum(eng_fn(params, x + carry * 0, bb_t))
+                    return jnp.sum(eng_fn(params, x + carry * 0, bb_t,
+                                          *extra))
             else:
                 if getattr(engine, "_rank_fns", None) is not None \
                         and b is not None:
@@ -173,7 +185,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                     eng_fn = engine._fn
 
                 def step_sum(params, x, carry):
-                    return jnp.sum(eng_fn(params, x + carry * 0))
+                    return jnp.sum(eng_fn(params, x + carry * 0, *extra))
         else:
             def step_sum(params, x, carry):
                 c, _, _ = eval_step(params, x + carry * 0, y0, bb, None)
