@@ -96,17 +96,23 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
         dict(image_size=224, patch_size=16, num_layers=12, num_heads=12,
              hidden_dim=768, mlp_dim=3072, num_classes=1000),
     )
-    # bf16 cast + 1-D vectors pre-shaped to (1, k) — the in-graph bias
-    # reshape before each Pallas call is a relayout kernel XLA won't hoist
-    # (measured 0.114 ms/layer; see inference.prepare_engine_params)
-    params = prepare_engine_params(model.params, jnp.bfloat16)
+    # bf16 cast, 1-D vectors pre-shaped to (1, k), and the LN affines
+    # pre-folded into the qkv/fc1 weights ONCE — the in-graph per-forward
+    # fold is two weight-sized fp32 sweeps + a (1,d)@(d,m) matmul per
+    # layer per call that XLA cannot hoist (params are jit operands);
+    # measured 0.14 ms/layer (see inference.prepare_engine_params)
+    params = prepare_engine_params(model.params, jnp.bfloat16, fold_ln=True)
     on_tpu = jax.default_backend() == "tpu"
     fwd = functools.partial(
         vit_forward_fused, patch_size=16, num_heads=12, interpret=not on_tpu
     )
 
     def step_sum(params, x, carry):
-        return jnp.sum(fwd(params, x + carry * 0))
+        # loop-carry dependency via a single-element perturbation: a
+        # whole-array `x + carry * 0` would add a 77 MB copy (~0.2 ms) of
+        # pure measurement overhead to every timed iteration
+        bump = (carry * 0).astype(x.dtype)  # float mul: not foldable
+        return jnp.sum(fwd(params, x.at[0, 0, 0, 0].add(bump)))
 
     def measure(bs, reps_, rounds: int = 5):
         # median of `rounds` timing passes as the headline: robust to the

@@ -30,6 +30,7 @@ from bench import device_seconds_per_iter
 
 
 def build_params(num_layers: int):
+    from peekvit_tpu.inference import prepare_engine_params
     from peekvit_tpu.models.registry import build_model
 
     model = build_model(
@@ -37,7 +38,8 @@ def build_params(num_layers: int):
         dict(image_size=224, patch_size=16, num_layers=num_layers,
              num_heads=12, hidden_dim=768, mlp_dim=3072, num_classes=1000),
     )
-    return jax.tree.map(lambda p: p.astype(jnp.bfloat16), model.params)
+    # the shipped engine config: bf16, vectors pre-shaped, LN pre-folded
+    return prepare_engine_params(model.params, jnp.bfloat16, fold_ln=True)
 
 
 def main():

@@ -69,6 +69,22 @@ def _embed(params, images, patch_size, num_class_tokens, num_registers, cast):
     return jnp.concatenate(pieces, axis=1), d
 
 
+def _embed_posfolded(params, images, patch_size, cast):
+    """Embed with pos-embedding + conv bias pre-folded into build-time
+    constants (prepare_engine_params fold_ln=True): the projection matmul's
+    epilogue add carries bias AND pos in one pass, instead of the separate
+    whole-(B, N, D) pos-add sweep after the concat."""
+    x = cast(images)
+    wconv = cast(params["conv_proj"]["kernel"])
+    d = wconv.shape[-1]
+    img = _patchify(x, patch_size) @ wconv.reshape(-1, d) + cast(
+        params["_embed_img_bias"])
+    b = img.shape[0]
+    spec = cast(params["_embed_special"])
+    spec = jnp.broadcast_to(spec, (b,) + spec.shape[1:])
+    return jnp.concatenate([spec, img], axis=1), d
+
+
 def _classify(params, tokens, num_class_tokens, cast, ln_eps=1e-5):
     """Shared back end: final LN -> SUM of class tokens (§7.10) -> head.
 
@@ -103,7 +119,7 @@ def _inject_noise(tokens, i, noise_layer, noise_type, noise_value, noise_rng):
     return apply_noise(tokens, noise_type, nv, rng)
 
 
-def prepare_engine_params(params, compute_dtype=None):
+def prepare_engine_params(params, compute_dtype=None, fold_ln: bool = False):
     """Engine-side param preparation, ONCE at construction (round 4):
 
     - every 1-D vector leaf becomes (1, k): the fused wrappers' in-graph
@@ -115,7 +131,18 @@ def prepare_engine_params(params, compute_dtype=None):
       sweeps become no-ops — EXCEPT gate/routing subtrees (residual_gate,
       budget_token_gate, gating_network: engine gate math is deliberately
       fp32 because thresholding/argmax is discontinuous) and int8 dequant
-      scales (sqkv/so/s1/s2 stay f32 for dequant precision).
+      scales (sqkv/so/s1/s2 stay f32 for dequant precision);
+    - ``fold_ln=True`` (plain-LN engines: ViT / RankViT / single-expert
+      MoE sublayers) pre-computes fold_ln_into_weights for every layer
+      and stores the results as ``_folded_qkv`` / ``_folded_fc1``
+      subtrees. The in-graph per-forward fold is two weight-sized fp32
+      sweeps plus a (1,d)@(d,m) matmul PER LAYER PER CALL that XLA cannot
+      hoist (params are jit operands) — measured 0.14 ms/layer at ViT-B
+      bs256 (the engine_decomp marginal-layer 4.435 ms vs the kernel's
+      own 4.29 ms). Folding here is also MORE precise: it runs on the
+      original fp32 weights instead of their bf16 casts. Masked engines
+      (Residual/A-ViT) must not fold — row masks don't commute with the
+      folded bias (see _layer_kernel docstring).
     """
     FP_SUBTREES = {"residual_gate", "budget_token_gate", "gating_network"}
     FP_LEAVES = {"sqkv", "so", "s1", "s2"}
@@ -132,7 +159,54 @@ def prepare_engine_params(params, compute_dtype=None):
             leaf = leaf.reshape(1, -1)
         return leaf
 
-    return jax.tree_util.tree_map_with_path(visit, params)
+    out = jax.tree_util.tree_map_with_path(visit, params)
+    if fold_ln and "encoder" in params:
+        from peekvit_tpu.ops.pallas.fused_attention import (
+            fold_ln_into_weights,
+        )
+
+        cdt = compute_dtype or jnp.float32
+        for key, sp in params["encoder"].items():
+            if not key.startswith("layers_") or "ln_1" not in sp:
+                continue
+            at, mlp = sp["self_attention"], sp["mlp"]
+            if "experts_1" in at or "experts_1" in mlp:
+                continue  # multi-expert MoE sublayers don't take this path
+            a = at.get("experts_0", at)
+            m = mlp.get("experts_0", mlp)
+            if "in_proj_kernel" not in a or "fc1_kernel" not in m:
+                continue
+            wq, bq = fold_ln_into_weights(
+                sp["ln_1"]["scale"], sp["ln_1"]["bias"],
+                a["in_proj_kernel"], a["in_proj_bias"])
+            w1, b1 = fold_ln_into_weights(
+                sp["ln_2"]["scale"], sp["ln_2"]["bias"],
+                m["fc1_kernel"], m["fc1_bias"])
+            out["encoder"][key]["_folded_qkv"] = {
+                "kernel": wq.astype(cdt), "bias": bq.astype(cdt)}
+            out["encoder"][key]["_folded_fc1"] = {
+                "kernel": w1.astype(cdt), "bias": b1.astype(cdt)}
+        if "class_tokens" in params and "conv_proj" in params:
+            # embed fold: [class|register] tokens and the conv bias each
+            # absorb their slice of pos_embedding, so the embed runs as
+            # matmul + one fused epilogue add + concat — no separate
+            # whole-(B,N,D) pos-add sweep per forward (_embed_posfolded)
+            d = params["conv_proj"]["kernel"].shape[-1]
+            pos = jnp.asarray(params["encoder"]["pos_embedding"],
+                              jnp.float32)
+            spec = [jnp.reshape(jnp.asarray(params["class_tokens"],
+                                            jnp.float32), (1, -1, d))]
+            if "register_tokens" in params:
+                spec.append(jnp.reshape(
+                    jnp.asarray(params["register_tokens"], jnp.float32),
+                    (1, -1, d)))
+            spec = jnp.concatenate(spec, axis=1)
+            ns = spec.shape[1]
+            bias = jnp.asarray(params["conv_proj"]["bias"],
+                               jnp.float32).reshape(1, 1, d)
+            out["_embed_special"] = (spec + pos[:, :ns]).astype(cdt)
+            out["_embed_img_bias"] = (bias + pos[:, ns:]).astype(cdt)
+    return out
 
 
 # VMEM budgets for weights resident in a fused kernel. The merged per-layer
@@ -181,18 +255,20 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    tokens, d = _embed(params, images, patch_size, num_class_tokens,
-                       num_registers, cast)
     enc = params["encoder"]
+    if "_embed_special" in params:
+        tokens, d = _embed_posfolded(params, images, patch_size, cast)
+    else:
+        tokens, d = _embed(params, images, patch_size, num_class_tokens,
+                           num_registers, cast)
+        tokens = tokens + cast(enc["pos_embedding"])
     ids = _layer_ids(enc)
     if not ids:  # layer-less tree (overhead microbenches)
-        return _classify(params, tokens + cast(enc["pos_embedding"]),
-                         num_class_tokens, cast, ln_eps)
+        return _classify(params, tokens, num_class_tokens, cast, ln_eps)
     mlp_dim = enc[f"layers_{ids[0]}"]["mlp"]["fc1_kernel"].shape[-1]
     fuse_layer = fused_mlp and _layer_fusable(d, mlp_dim)
     fused_mlp = fused_mlp and _mlp_fusable(d, mlp_dim)
     fuse_attn = _attn_fusable(d)
-    tokens = tokens + cast(enc["pos_embedding"])
 
     for i in ids:
         tokens = _inject_noise(tokens, i, noise_layer, noise_type,
@@ -201,13 +277,22 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
         at = lp["self_attention"]
         if fuse_layer:
             # one kernel per layer (no HBM round trip between sublayers),
-            # LN affines folded into the qkv/fc1 weights
-            wqkv, bqkv = fold_ln_into_weights(
-                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
-            w1, b1 = fold_ln_into_weights(
-                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+            # LN affines folded into the qkv/fc1 weights — pre-folded at
+            # engine build when available (prepare_engine_params
+            # fold_ln=True: the in-graph fold costs 0.14 ms/layer/call)
+            fq = lp.get("_folded_qkv")
+            if fq is not None:
+                wqkv, bqkv = cast(fq["kernel"]), cast(fq["bias"])
+                f1 = lp["_folded_fc1"]
+                w1, b1 = cast(f1["kernel"]), cast(f1["bias"])
+            else:
+                wqkv, bqkv = fold_ln_into_weights(
+                    cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                    cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+                w1, b1 = fold_ln_into_weights(
+                    cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                    cast(lp["mlp"]["fc1_kernel"]),
+                    cast(lp["mlp"]["fc1_bias"]))
             tokens = fused_layer_block_folded(
                 tokens, wqkv, bqkv,
                 cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
@@ -598,9 +683,12 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     c = num_class_tokens
-    tokens, d = _embed(params, images, patch_size, c, 0, cast)
     enc = params["encoder"]
-    tokens = tokens + cast(enc["pos_embedding"])
+    if "_embed_special" in params:
+        tokens, d = _embed_posfolded(params, images, patch_size, cast)
+    else:
+        tokens, d = _embed(params, images, patch_size, c, 0, cast)
+        tokens = tokens + cast(enc["pos_embedding"])
 
     mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["mlp"]["fc1_kernel"].shape[-1]
     fuse_layer = _layer_fusable(d, mlp_dim)
@@ -625,12 +713,19 @@ def rankvit_forward_fused(params, images, *, budget: float, patch_size: int,
         lp = enc[f"layers_{i}"]
         at = lp["self_attention"]
         if fuse_layer and tokens.shape[1] >= _MERGED_MIN_TOKENS:
-            wqkv, bqkv = fold_ln_into_weights(
-                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
-            w1, b1 = fold_ln_into_weights(
-                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+            fq = lp.get("_folded_qkv")
+            if fq is not None:
+                wqkv, bqkv = cast(fq["kernel"]), cast(fq["bias"])
+                f1 = lp["_folded_fc1"]
+                w1, b1 = cast(f1["kernel"]), cast(f1["bias"])
+            else:
+                wqkv, bqkv = fold_ln_into_weights(
+                    cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                    cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+                w1, b1 = fold_ln_into_weights(
+                    cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                    cast(lp["mlp"]["fc1_kernel"]),
+                    cast(lp["mlp"]["fc1_bias"]))
             tokens = fused_layer_block_folded(
                 tokens, wqkv, bqkv,
                 cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
@@ -686,10 +781,13 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     c = num_class_tokens
-    tokens, d = _embed(params, images, patch_size, c, 0, cast)
-    b = tokens.shape[0]
     enc = params["encoder"]
-    tokens = tokens + cast(enc["pos_embedding"])
+    if "_embed_special" in params:
+        tokens, d = _embed_posfolded(params, images, patch_size, cast)
+    else:
+        tokens, d = _embed(params, images, patch_size, c, 0, cast)
+        tokens = tokens + cast(enc["pos_embedding"])
+    b = tokens.shape[0]
 
     n_img = tokens.shape[1] - c          # static buffer length (img tokens)
     n_valid = jnp.float32(n_img)         # traced count of VALID img tokens
@@ -722,12 +820,18 @@ def rankvit_forward_padded(params, images, budget, *, patch_size: int,
                 "padded RankViT engine needs the merged-kernel weight "
                 "budget (use the exact-drop or linen path for models "
                 "beyond ViT-L scale)")
-        wqkv, bqkv = fold_ln_into_weights(
-            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
-        w1, b1 = fold_ln_into_weights(
-            cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-            cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
+        fq = lp.get("_folded_qkv")
+        if fq is not None:
+            wqkv, bqkv = cast(fq["kernel"]), cast(fq["bias"])
+            f1 = lp["_folded_fc1"]
+            w1, b1 = cast(f1["kernel"]), cast(f1["bias"])
+        else:
+            wqkv, bqkv = fold_ln_into_weights(
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]))
+            w1, b1 = fold_ln_into_weights(
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]))
         wargs = (
             wqkv, bqkv,
             cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
@@ -974,12 +1078,18 @@ def moevit_forward_fused(params, images, *, patch_size: int,
         mlp_single = mlp_moes[li] == 1
         if attn_single and mlp_single and fusable:
             a0, m0 = at["experts_0"], mlp["experts_0"]
-            wqkv, bqkv = fold_ln_into_weights(
-                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-                cast(a0["in_proj_kernel"]), cast(a0["in_proj_bias"]))
-            w1, b1 = fold_ln_into_weights(
-                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
-                cast(m0["fc1_kernel"]), cast(m0["fc1_bias"]))
+            fq = lp.get("_folded_qkv")
+            if fq is not None:
+                wqkv, bqkv = cast(fq["kernel"]), cast(fq["bias"])
+                f1 = lp["_folded_fc1"]
+                w1, b1 = cast(f1["kernel"]), cast(f1["bias"])
+            else:
+                wqkv, bqkv = fold_ln_into_weights(
+                    cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                    cast(a0["in_proj_kernel"]), cast(a0["in_proj_bias"]))
+                w1, b1 = fold_ln_into_weights(
+                    cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                    cast(m0["fc1_kernel"]), cast(m0["fc1_bias"]))
             tokens = fused_layer_block_folded(
                 tokens, wqkv, bqkv,
                 cast(a0["out_proj_kernel"]), cast(a0["out_proj_bias"]),
@@ -1732,7 +1842,8 @@ class InferenceEngine:
                     interpret=interpret,
                 ))
                 return
-            self.params = prepare_engine_params(model.params, compute_dtype)
+            self.params = prepare_engine_params(model.params, compute_dtype,
+                                                fold_ln=True)
             self._fn = self._jit_noise(functools.partial(
                 moevit_forward_fused,
                 patch_size=module.patch_size,
@@ -1911,7 +2022,8 @@ class InferenceEngine:
                 num_registers=getattr(module, "num_registers", 0),
                 **common,
             ))
-        self.params = prepare_engine_params(model.params, compute_dtype)
+        self.params = prepare_engine_params(model.params, compute_dtype,
+                                            fold_ln=True)
 
     def __call__(self, images, budget: Optional[float] = None,
                  noise_value=None, noise_rng=None) -> jax.Array:
