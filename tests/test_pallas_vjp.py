@@ -227,3 +227,92 @@ def test_merged_layer_grads_match_reference(mi):
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
             err_msg=f"merged-layer grad mismatch: {name}",
         )
+
+
+def test_hybrid_layer_grads_match_reference():
+    """layer_block_hybrid (merged Pallas fwd + XLA-recompute bwd): same
+    contract as layer_block_trainable for all 13 operands."""
+    from peekvit_tpu.ops.pallas.fused_layer_vjp import layer_block_hybrid
+
+    rng = np.random.default_rng(3)
+    b, n, d, heads, m = 2, 17, 32, 4, 64
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
+    x = f32(b, n, d)
+    args = (x, jnp.ones((d,)) + 0.1 * f32(d), 0.1 * f32(d),
+            0.2 * f32(d, 3 * d), 0.05 * f32(3 * d), 0.2 * f32(d, d),
+            0.05 * f32(d), jnp.ones((d,)) + 0.1 * f32(d), 0.1 * f32(d),
+            0.2 * f32(d, m), 0.05 * f32(m), 0.2 * f32(m, d), 0.05 * f32(d))
+    g_out = f32(b, n, d)
+
+    out_ref = _reference_layer(*args, heads)
+    out_h = layer_block_hybrid(*args, heads, 1e-5, True, 1)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    loss_ref = lambda *a: jnp.sum(_reference_layer(*a, heads) * g_out)
+    loss_h = lambda *a: jnp.sum(
+        layer_block_hybrid(*a, heads, 1e-5, True, 1) * g_out)
+    grads_ref = jax.grad(loss_ref, argnums=tuple(range(13)))(*args)
+    grads_h = jax.grad(loss_h, argnums=tuple(range(13)))(*args)
+    for i, (a, b_) in enumerate(zip(grads_h, grads_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=f"hybrid-layer grad mismatch at operand {i}")
+
+
+def test_sp_tail_block_grads_match_reference():
+    """sp_tail_block (post-gather SP tail: attention over full K/V with a
+    key mask + out-proj + LN2 + MLP): forward and grads vs a pure-jnp
+    replica, with masked keys verifiably excluded."""
+    from peekvit_tpu.ops.pallas.fused_layer_vjp import sp_tail_block
+
+    rng = np.random.default_rng(7)
+    b, n_loc, n_full, d, heads, m = 2, 8, 16, 32, 4, 64
+    hd = d // heads
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
+    x, q = f32(b, n_loc, d), f32(b, n_loc, d)
+    k, v = f32(b, n_full, d), f32(b, n_full, d)
+    kmask = jnp.asarray(rng.random((b, n_full)) > 0.3, jnp.float32)
+    kmask = kmask.at[:, 0].set(1.0)  # at least one live key
+    ws = (0.2 * f32(d, d), 0.05 * f32(d), jnp.ones((d,)) + 0.1 * f32(d),
+          0.1 * f32(d), 0.2 * f32(d, m), 0.05 * f32(m), 0.2 * f32(m, d),
+          0.05 * f32(d))
+
+    def ref(x_, q_, k_, v_, wo, bo, lns2, lnb2, w1, b1, w2, b2):
+        qh = q_.reshape(b, n_loc, heads, hd)
+        kh = k_.reshape(b, n_full, heads, hd)
+        vh = v_.reshape(b, n_full, heads, hd)
+        logits = jnp.einsum("bqhc,bkhc->bhqk", qh, kh) / jnp.sqrt(float(hd))
+        logits = jnp.where(kmask[:, None, None, :] > 0, logits, -jnp.inf)
+        s = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhc->bqhc", s, vh).reshape(b, n_loc, d)
+        y = attn @ wo + bo + x_
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+        ln2 = (y - mu) * jax.lax.rsqrt(var + 1e-5) * lns2 + lnb2
+        h = jax.nn.gelu(ln2 @ w1 + b1, approximate=True)
+        return h @ w2 + b2 + y
+
+    out_ref = ref(x, q, k, v, *ws)
+    out_k = sp_tail_block(x, q, k, v, kmask, *ws, heads, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    # a fully-masked key's V must not influence the output
+    v2 = v.at[:, 1].set(100.0)
+    kmask2 = kmask.at[:, 1].set(0.0)
+    out_a = sp_tail_block(x, q, k, v, kmask2, *ws, heads, 1e-5, True)
+    out_b = sp_tail_block(x, q, k, v2, kmask2, *ws, heads, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-6, atol=1e-6)
+
+    g_out = f32(b, n_loc, d)
+    loss_ref = lambda *a: jnp.sum(ref(*a) * g_out)
+    loss_k = lambda *a: jnp.sum(
+        sp_tail_block(a[0], a[1], a[2], a[3], kmask, *a[4:], heads, 1e-5,
+                      True) * g_out)
+    argn = tuple(range(12))
+    grads_ref = jax.grad(loss_ref, argnums=argn)(x, q, k, v, *ws)
+    grads_k = jax.grad(loss_k, argnums=argn)(x, q, k, v, *ws)
+    for i, (a, b_) in enumerate(zip(grads_k, grads_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=f"sp-tail grad mismatch at operand {i}")
