@@ -108,11 +108,16 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
     )
 
     def step_sum(params, x, carry):
-        # loop-carry dependency via a single-element perturbation: a
-        # whole-array `x + carry * 0` would add a 77 MB copy (~0.2 ms) of
-        # pure measurement overhead to every timed iteration
-        bump = (carry * 0).astype(x.dtype)  # float mul: not foldable
-        return jnp.sum(fwd(params, x.at[0, 0, 0, 0].add(bump)))
+        # loop-carry dependency via the (1, 196, 768) embed bias instead of
+        # the input image: `x.at[0,0,0,0].add(bump)` materializes a fresh
+        # 77 MB copy of x every timed iteration (~0.19 ms of measurement
+        # overhead); bumping the bias costs a 0.3 MB copy and still makes
+        # EVERY token of EVERY layer iteration-dependent (so XLA can
+        # neither CSE the forward across iterations nor hoist the encoder
+        # out of the loop — the bias feeds the embed output directly)
+        bump = (carry * 0).astype(params["_embed_img_bias"].dtype)
+        p2 = dict(params, _embed_img_bias=params["_embed_img_bias"] + bump)
+        return jnp.sum(fwd(p2, x))
 
     def measure(bs, reps_, rounds: int = 5):
         # median of `rounds` timing passes as the headline: robust to the

@@ -52,8 +52,10 @@ def _weights(key):
     )
 
 
-def _per_layer_calls(x, ws):
-    """Shipped structure: one folded merged-layer call per layer."""
+def _per_layer_calls(x, ws, shared: bool = False):
+    """Shipped structure: one folded merged-layer call per layer.
+    ``shared=True`` feeds layer 0's weights to every call (same math
+    volume, constant weight working set)."""
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     io = pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -70,13 +72,14 @@ def _per_layer_calls(x, ws):
             vmem_limit_bytes=_MERGED_VMEM_LIMIT),
     )
     for li in range(L):
-        x = call(x, *(w[li] for w in ws))
+        x = call(x, *(w[0 if shared else li] for w in ws))
     return x
 
 
-def _one_call(x, ws):
-    """One dispatch: grid (L, B), aliased token buffer, stacked weights."""
-    io = pl.BlockSpec((1, N, D), lambda l, b: (b, 0, 0),
+def _one_call(x, ws, mi: int = 1):
+    """One dispatch: grid (L, B/mi), aliased token buffer, stacked
+    weights."""
+    io = pl.BlockSpec((mi, N, D), lambda l, b: (b, 0, 0),
                       memory_space=pltpu.VMEM)
     wfull = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda l, b: (l,) + tuple(0 for _ in shape),
@@ -91,7 +94,7 @@ def _one_call(x, ws):
     return pl.pallas_call(
         functools.partial(kernel, num_heads=H, eps=1e-5),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
-        grid=(L, B),
+        grid=(L, B // mi),
         in_specs=[io, wfull((D, 3 * D)), wfull((1, 3 * D)), wfull((D, D)),
                   wfull((1, D)), wfull((D, M)), wfull((1, M)),
                   wfull((M, D)), wfull((1, D))],
@@ -125,9 +128,24 @@ def main():
             xx.at[0, 0, 0].add((carry * 0).astype(xx.dtype)), ws).astype(
                 jnp.float32))
 
+    def run_shared_weights(ws, xx, carry):
+        # every layer uses layer 0's weights: same math volume, but the
+        # 14 MB weight working set never changes between calls — isolates
+        # the cost of streaming DISTINCT weights per layer
+        return jnp.sum(_per_layer_calls(
+            xx.at[0, 0, 0].add((carry * 0).astype(xx.dtype)), ws,
+            shared=True).astype(jnp.float32))
+
+    def run_one_call_mi2(ws, xx, carry):
+        return jnp.sum(_one_call(
+            xx.at[0, 0, 0].add((carry * 0).astype(xx.dtype)), ws,
+            mi=2).astype(jnp.float32))
+
     res = {}
     for name, fn in (("per_layer_calls", run_per_layer),
-                     ("one_call", run_one_call)):
+                     ("one_call", run_one_call),
+                     ("per_layer_shared_weights", run_shared_weights),
+                     ("one_call_mi2", run_one_call_mi2)):
         t = min(device_seconds_per_iter(fn, (ws, x), reps=10)
                 for _ in range(3))
         res[name] = round(t * 1e3, 4)

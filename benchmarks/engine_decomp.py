@@ -60,7 +60,12 @@ def main():
         params = build_params(L)
 
         def step(params, xx, carry):
-            return jnp.sum(fwd(params, xx + carry * 0))
+            # same loop-carry as bench.py: bump the (1, 196, 768) embed
+            # bias (0.3 MB) instead of copying the 77 MB input
+            bump = (carry * 0).astype(params["_embed_img_bias"].dtype)
+            p2 = dict(params,
+                      _embed_img_bias=params["_embed_img_bias"] + bump)
+            return jnp.sum(fwd(p2, xx))
 
         t = min(device_seconds_per_iter(step, (params, x), reps=10)
                 for _ in range(2))

@@ -186,6 +186,34 @@ def prepare_engine_params(params, compute_dtype=None, fold_ln: bool = False):
                 "kernel": wq.astype(cdt), "bias": bq.astype(cdt)}
             out["encoder"][key]["_folded_fc1"] = {
                 "kernel": w1.astype(cdt), "bias": b1.astype(cdt)}
+        # stack the folded layers for the one-dispatch encoder
+        # (encoder_layers_one_call): every layer folded + uniform shapes
+        # + plain (non-expert) sublayers only
+        ids = _layer_ids(params["encoder"])
+        folded = [out["encoder"].get(f"layers_{i}", {}) for i in ids]
+        if ids and all(
+                "_folded_qkv" in fp
+                and "out_proj_kernel" in fp.get("self_attention", {})
+                and "fc2_kernel" in fp.get("mlp", {})
+                for fp in folded):
+            shapes = {fp["_folded_qkv"]["kernel"].shape for fp in folded} | {
+                fp["_folded_fc1"]["kernel"].shape for fp in folded}
+            if len(shapes) == 2:  # one qkv shape + one fc1 shape
+                stk = lambda leaves: jnp.stack(list(leaves))  # noqa: E731
+                out["encoder"]["_stacked_layers"] = {
+                    "wqkv": stk(fp["_folded_qkv"]["kernel"] for fp in folded),
+                    "bqkv": stk(fp["_folded_qkv"]["bias"] for fp in folded),
+                    "wo": stk(out["encoder"][f"layers_{i}"]["self_attention"]
+                              ["out_proj_kernel"] for i in ids),
+                    "bo": stk(out["encoder"][f"layers_{i}"]["self_attention"]
+                              ["out_proj_bias"] for i in ids),
+                    "w1": stk(fp["_folded_fc1"]["kernel"] for fp in folded),
+                    "b1": stk(fp["_folded_fc1"]["bias"] for fp in folded),
+                    "w2": stk(out["encoder"][f"layers_{i}"]["mlp"]
+                              ["fc2_kernel"] for i in ids),
+                    "b2": stk(out["encoder"][f"layers_{i}"]["mlp"]
+                              ["fc2_bias"] for i in ids),
+                }
         if "class_tokens" in params and "conv_proj" in params:
             # embed fold: [class|register] tokens and the conv bias each
             # absorb their slice of pos_embedding, so the embed runs as
@@ -248,6 +276,7 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
                       noise_rng=None) -> jax.Array:
     """Eval forward of a plain ViT from its param tree (fused blocks)."""
     from peekvit_tpu.ops.pallas.fused_attention import (
+        encoder_layers_one_call,
         fold_ln_into_weights,
         fused_attention_block,
         fused_layer_block_folded,
@@ -269,6 +298,23 @@ def vit_forward_fused(params, images, *, patch_size: int, num_heads: int,
     fuse_layer = fused_mlp and _layer_fusable(d, mlp_dim)
     fused_mlp = fused_mlp and _mlp_fusable(d, mlp_dim)
     fuse_attn = _attn_fusable(d)
+
+    if (fuse_layer and noise_layer is None
+            and "_stacked_layers" in enc
+            and not interpret and tokens.shape[0] >= 8):
+        # the whole encoder in ONE dispatch (grid (L, B), aliased token
+        # buffer) — bitwise-identical to the per-layer calls, 0.38 ms
+        # faster at ViT-B bs256 (benchmarks/encoder_one_call.py). Noise
+        # sweeps inject between layers, so they keep the per-layer path;
+        # interpret mode does NOT apply input/output aliasing step-by-step
+        # (layer l+1 would read the original input), so CPU runs keep the
+        # per-layer path too — the TPU A/B benchmark pins parity (0.0 max
+        # err); the batch floor keeps aliased reads >= 2 grid steps behind
+        # the trailing write-back.
+        tokens = encoder_layers_one_call(
+            tokens, jax.tree.map(cast, enc["_stacked_layers"]),
+            num_heads, ln_eps, interpret)
+        return _classify(params, tokens, num_class_tokens, cast, ln_eps)
 
     for i in ids:
         tokens = _inject_noise(tokens, i, noise_layer, noise_type,

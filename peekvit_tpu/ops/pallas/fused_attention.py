@@ -757,6 +757,77 @@ def fused_layer_block_folded(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
                         interpret, mi, folded=True)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def encoder_layers_one_call(x, stacked, num_heads: int, eps: float = 1e-5,
+                            interpret: bool = False,
+                            images_per_cell: int = 2):
+    """The WHOLE folded encoder stack in ONE pallas_call (round-4 A/B:
+    benchmarks/encoder_one_call.py — bitwise-identical to the per-layer
+    calls, 0.38 ms faster per ViT-B bs256 forward by dropping 11 dispatch/
+    Mosaic-prologue rounds).
+
+    Grid (L, B): io blocks are indexed (l, b) -> (b, 0, 0) with
+    ``input_output_aliases={0: 0}``, so layer l's cell reads what layer
+    l-1 wrote B grid steps earlier — far outside the pipeline's prefetch
+    lookahead, no RAW hazard. Weights arrive stacked with a leading layer
+    axis ((L, d, 3d), ...) and block index (l, b) -> (l, 0, 0): resident
+    during each b sweep, re-fetched once per layer transition (~17 us,
+    hidden under the ~4.3 ms sweep). ``stacked``: dict with keys
+    wqkv/bqkv/wo/bo/w1/b1/w2/b2 (prepare_engine_params fold_ln=True builds
+    it as encoder['_stacked_layers']). NOTE: donates/aliases ``x``.
+
+    Caveats (the engine's call site guards both): needs B >= 3 so aliased
+    reads trail the one-step-delayed write-back (B >= 8 enforced for
+    margin; with images_per_cell=2 the one-call grid runs ~0.5 ms faster
+    than mi=1 at ViT-B bs256 — unlike the per-layer calls, where mi=2 was
+    a measured negative), and COMPILED mode only — the interpreter applies input/output
+    aliasing once at the end, not per grid step, so layer l+1 would read
+    the original input (verified: L=1 exact, L>=2 wrong under interpret).
+
+    A further fold of the patch-embed matmul into the l=0 cells (XLA
+    keeping only the padded patchify relayout) is a measured NEGATIVE:
+    4800 -> 4739 img/s — the jnp.pad materialization plus the per-cell
+    @pl.when(l==0) branch cost more than the concat+epilogue writes they
+    replace (round-4 session 2 A/B via bench.py).
+    """
+    layers, d = stacked["wqkv"].shape[0], stacked["wqkv"].shape[1]
+    b, n, _ = x.shape
+    m = stacked["w1"].shape[-1]
+    mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    io = pl.BlockSpec((mi, n, d), lambda l, bi: (bi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda l, bi: (l,) + tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, wqkv, bqkv, wo, bo, w1, b1, w2, b2, o_ref):
+        _layer_kernel(x_ref, wqkv[0], bqkv[0], wo[0], bo[0], w1[0], b1[0],
+                      w2[0], b2[0], o_ref, num_heads=num_heads, eps=eps,
+                      mode="plain", folded=True)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(layers, b // mi),
+        in_specs=[io, wspec((d, 3 * d)), wspec((1, 3 * d)), wspec((d, d)),
+                  wspec((1, d)), wspec((d, m)), wspec((1, m)),
+                  wspec((m, d)), wspec((1, d))],
+        out_specs=io,
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MERGED_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * layers * b * n * (4 * d * d + 2 * n * d + 2 * d * m),
+            bytes_accessed=(2 * layers * b * n * d
+                            + layers * (4 * d * d + 2 * d * m))
+            * x.dtype.itemsize,
+            transcendentals=layers * (b * num_heads * n * n + b * n * m),
+        ),
+        interpret=interpret,
+    )(x, stacked["wqkv"], stacked["bqkv"], stacked["wo"], stacked["bo"],
+      stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"])
+
+
 @functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
 def keymasked_layer_block_folded(x, key_mask, w_qkv, b_qkv, w_out, b_out,
                                  w1, b1, w2, b2, num_heads: int,
