@@ -117,24 +117,33 @@ def main():
     ideal_layer_s = B * layer_flops_per_image() / peak_flops(dev)
     mxu_util = ideal_layer_s / (t_mm / L)
     # implied ceiling for the FULL forward: matmul-only layer stack plus
-    # the measured non-layer overhead of the shipped engine (embed +
-    # classify, ~1.3 ms at bs256 — conservative: taken as is)
+    # the shipped engine's MEASURED non-layer overhead (embed + classify
+    # intercept from benchmarks/engine_decomp.json; round 3 assumed a
+    # conservative 1.3 ms — round 4's pre-folding and one-dispatch
+    # encoder cut the real intercept to ~0.42 ms, raising the ceiling)
     overhead_s = 1.3e-3
+    decomp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "engine_decomp.json")
+    if os.path.exists(decomp):
+        with open(decomp) as f:
+            overhead_s = json.load(f)["intercept_ms"] * 1e-3
     ceiling_img_s = B / (t_mm + overhead_s)
-    print(json.dumps({
-        "metric": "mm_only_layer_ms", "value": round(per_layer_ms, 3),
+    out = {
+        "mm_only_layer_ms": round(per_layer_ms, 3),
         "mxu_utilization": round(mxu_util, 4),
-    }))
-    print(json.dumps({
-        "metric": "attainable_ceiling_img_s",
-        "value": round(ceiling_img_s, 1),
+        "overhead_ms": round(overhead_s * 1e3, 3),
+        "attainable_ceiling_img_s": round(ceiling_img_s, 1),
         "vs_analytic_roofline": round(
             ceiling_img_s * L * layer_flops_per_image() * B
             / (B * peak_flops(dev)), 4),
-        "note": "matmul-only merged layer stack + measured engine overhead;"
-                " the gap to 1.0 is the head_dim-64 score/PV MXU"
-                " underutilization, a model-shape property",
-    }))
+        "note": "matmul-only merged layer stack + measured engine"
+                " intercept; the gap to 1.0 is the head_dim-64 score/PV"
+                " MXU underutilization, a model-shape property",
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "mxu_ceiling.json"), "w") as f:
+        json.dump(out, f, indent=1)
     return per_layer_ms, ceiling_img_s
 
 

@@ -169,6 +169,8 @@ def prepare_engine_params(params, compute_dtype=None, fold_ln: bool = False):
         for key, sp in params["encoder"].items():
             if not key.startswith("layers_") or "ln_1" not in sp:
                 continue
+            if "self_attention" not in sp or "mlp" not in sp:
+                continue  # quantized tree: only the embed fold applies
             at, mlp = sp["self_attention"], sp["mlp"]
             if "experts_1" in at or "experts_1" in mlp:
                 continue  # multi-expert MoE sublayers don't take this path
@@ -645,14 +647,26 @@ def vit_forward_quant(qparams, images, *, patch_size: int, num_heads: int,
     )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
-    tokens, d = _embed(qparams, images, patch_size, num_class_tokens,
-                       num_registers, cast)
     enc = qparams["encoder"]
+    if "_embed_special" in qparams:
+        # pos-embedding / conv-bias pre-folded at engine build, same as
+        # the bf16 engine (prepare_engine_params fold_ln=True — for quant
+        # trees only the embed fold applies; the LN fold needs fp weights)
+        tokens, d = _embed_posfolded(qparams, images, patch_size, cast)
+    else:
+        tokens, d = _embed(qparams, images, patch_size, num_class_tokens,
+                           num_registers, cast)
+        tokens = tokens + cast(enc["pos_embedding"])
     mlp_dim = enc[f"layers_{_layer_ids(enc)[0]}"]["w1_q"].shape[-1]
     fuse_layer = _layer_fusable(d, mlp_dim, itemsize=1)
     fuse_attn = _attn_fusable(d, itemsize=1)
     fuse_mlp = _mlp_fusable(d, mlp_dim, itemsize=1)
-    tokens = tokens + cast(enc["pos_embedding"])
+
+    # NOTE: a one-dispatch int8 encoder (the quant analogue of
+    # encoder_layers_one_call) measured NEUTRAL on v5e (6457 vs 6472
+    # img/s dynamic, 6622 vs 6647 static): the bf16 one-call win is
+    # weight-STREAMING recovery, and int8 weights (7 MB/layer) already
+    # stream hidden under the halved-matmul layer time. Not shipped.
 
     for li, i in enumerate(_layer_ids(enc)):
         tokens = _inject_noise(tokens, i, noise_layer, noise_type,
@@ -2004,7 +2018,7 @@ class InferenceEngine:
                         qsource, jnp.asarray(calib_images),
                         percentile=calib_percentile, **geom)
             self.params = prepare_engine_params(
-                quantize_vit_params(qsource), compute_dtype)
+                quantize_vit_params(qsource), compute_dtype, fold_ln=True)
             if self._rank_layers:
                 # int8 + physical token drop: one jitted fn per budget
                 # (caps calibrated at full token count; a high percentile

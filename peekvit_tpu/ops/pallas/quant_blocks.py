@@ -43,13 +43,15 @@ def _quant_rows(x: jax.Array, cap=None):
     """fp (rows, d) -> (int8 rows, fp32 scales).
 
     ``cap=None``: dynamic symmetric per-row quantization (one abs-max per
-    row). ``cap=<static float>``: STATIC calibrated quantization — scale is
-    the constant cap/127 and activations saturate at the cap (percentile
+    row). ``cap=<float or traced scalar>``: STATIC calibrated quantization
+    — scale is cap/127 and activations saturate at the cap (percentile
     calibration clips outliers instead of letting them inflate the scale);
-    also skips the per-row abs-max VPU pass."""
+    also skips the per-row abs-max VPU pass. A python-float cap constant-
+    folds at compile time; the one-call encoder feeds per-layer caps from
+    a VMEM block (traced scalars), same math."""
     xf = x.astype(jnp.float32)
     if cap is not None:
-        s = jnp.float32(max(float(cap), 1e-12) / 127.0)
+        s = jnp.maximum(jnp.asarray(cap, jnp.float32), 1e-12) / 127.0
         xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
         return xq, s
     s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
@@ -69,9 +71,15 @@ def _qmatmul(xq, sx, wq_ref, sw_ref):
 
 
 def _ln_f32(x, scale_ref, bias_ref, eps):
+    # one-pass statistics (var = E[x^2] - mu^2), same treatment as the
+    # bf16 merged kernels (fused_attention._norm_rows: ~0.04 ms/layer on
+    # v5e per int8_ablation.json static -> static_1p; cancellation risk
+    # negligible for transformer residual streams, parity pinned at ViT-B
+    # scale incl. the outlier fixture)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
     out = (xf - mu) * jax.lax.rsqrt(var + eps)
     return out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(
         jnp.float32

@@ -85,13 +85,32 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         from peekvit_tpu.inference import InferenceEngine
 
         try:
+            calib = None
+            n_calib = int(tcfg.get("calib_images", 0) or 0)
+            if tcfg.get("quantized") and n_calib > 0:
+                # SmoothQuant (+ optional static caps) calibration drawn
+                # from the head of the val set — mirrors the reference's
+                # use of the val loader for its FLOPs probe batches
+                xs = []
+                for bx, _ in val_loader:
+                    xs.append(jnp.asarray(bx))
+                    if sum(x.shape[0] for x in xs) >= n_calib:
+                        break
+                calib = jnp.concatenate(xs)[:n_calib]
             engine = InferenceEngine(
                 model,
                 quantized=tcfg.get("quantized", False),
                 max_budget=tcfg.get("engine_max_budget"),
+                calib_images=calib,
+                calib_percentile=float(tcfg.get("calib_percentile", 99.9)),
+                calib_static_caps=bool(tcfg.get("calib_static_caps",
+                                                False)),
             )
             print("eval path: fused InferenceEngine"
-                  + (" (int8 w8a8)" if tcfg.get("quantized") else ""),
+                  + (" (int8 w8a8)" if tcfg.get("quantized") else "")
+                  + (f" [calibrated on {n_calib}"
+                     + (", static caps]" if tcfg.get("calib_static_caps")
+                        else "]") if calib is not None else ""),
                   flush=True)
         except NotImplementedError as e:  # unsupported mode
             print(f"fused engine unavailable ({e}); linen eval path", flush=True)
