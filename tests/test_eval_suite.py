@@ -317,3 +317,29 @@ def test_noise_sweep_stays_on_engine_path(tmp_path, capsys):
     assert all(set(r) == {0.0, 8.0} for r in rb.values())
     images = os.path.join(res["experiment_dir"], "images")
     assert os.path.isfile(os.path.join(images, "budget_noise_grid.png"))
+
+
+def test_quantized_calibrated_eval_entry(tmp_path, capsys):
+    """validate/test.py with test.quantized=true + calibration knobs: the
+    calibration set is drawn from the val loader, the engine reports the
+    calibrated int8 path, and the sweep completes with sane accuracies."""
+    res = _train_once(tmp_path, [
+        "model=rankvit", "model.rankvit_layers=[1]",
+    ])
+    from test import main as test_main
+
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.budgets=[0.5]", "test.quantized=true",
+        "test.calib_images=12", "test.calib_static_caps=true",
+        "test.calib_percentile=99.0",
+    ])
+    out = capsys.readouterr().out
+    assert "int8 w8a8" in out and "calibrated on 12" in out \
+        and "static caps" in out, out
+    summary = results[res["experiment_dir"]]
+    rb = summary["results_per_budget"]
+    assert set(rb) == {0.5}
+    assert all(0.0 <= acc <= 1.0 for r in rb.values() for acc in r.values())

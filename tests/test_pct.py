@@ -83,3 +83,32 @@ def test_rankpct_ranking_disabled_is_plain():
     model.enable_ranking([True, False])
     _, aux = model(x)
     assert set(aux["masks"]) == {"layer_0"}
+
+
+def test_pct_engine_matches_linen():
+    """PCT fused engine (ARPE + BN head on XLA, blocks on the merged
+    folded kernels via the shared _encoder_stack) vs the linen eval
+    forward."""
+    from peekvit_tpu.inference import InferenceEngine
+
+    model = build_model("pct", ARGS)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    want, _ = model(x)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32)
+    got = eng(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # bf16 compute stays close in class ranking
+    eng16 = InferenceEngine(model)  # bf16 default
+    got16 = eng16(x)
+    assert (np.asarray(got16).argmax(-1) == np.asarray(want).argmax(-1)
+            ).mean() >= 0.75
+
+
+def test_pct_engine_guards():
+    from peekvit_tpu.inference import InferenceEngine
+
+    model = build_model("pct", ARGS)
+    with pytest.raises(NotImplementedError, match="bf16 eval only"):
+        InferenceEngine(model, quantized=True)

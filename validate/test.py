@@ -80,7 +80,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         ("VisionTransformer", "RankVisionTransformer",
          "ResidualVisionTransformer", "VisionTransformerMoE",
          "AdaptiveVisionTransformer", "EEResidualVisionTransformer",
-         "ResidualVisionTransformerWithDecoder")
+         "ResidualVisionTransformerWithDecoder", "PointCloudTransformer")
     ):
         from peekvit_tpu.inference import InferenceEngine
 
@@ -210,7 +210,10 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                 c, _, _ = eval_step(params, x + carry * 0, y0, bb, None)
                 return c.astype(jnp.float32)
 
-        sec = device_seconds_per_iter(step_sum, (model.params, flops_batch),
+        # engine fns run the ENGINE's prepared tree (quantized/pre-folded
+        # — the raw fp tree lacks the int8 leaves), linen the model's
+        timing_params = engine.params if engine is not None else model.params
+        sec = device_seconds_per_iter(step_sum, (timing_params, flops_batch),
                                       reps=5)
         device_timings[b] = bs / sec
 
