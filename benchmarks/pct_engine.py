@@ -59,6 +59,23 @@ def main():
            "engine_ms": round(t_eng * 1e3, 2),
            "engine_clouds_s": round(BS / t_eng, 1),
            "speedup": round(t_lin / t_eng, 2)}
+
+    # RankPCT physical-drop engine at budget 0.5 (ranking on every layer)
+    rank = build_model("rankpct", dict(
+        num_points=1024, num_layers=4, num_heads=4, hidden_dim=128,
+        mlp_dim=512, num_classes=40))
+    rank.enable_ranking(True)
+    reng = InferenceEngine(rank)
+    reng(x[:8], budget=0.5)
+    rfn = reng._rank_fns[0.5]
+
+    def rank_step(params, xx, carry):
+        return jnp.sum(rfn(params, xx.at[0, 0, 0].add(carry * 0)))
+
+    t_r = min(device_seconds_per_iter(rank_step, (reng.params, x), reps=10)
+              for _ in range(2))
+    out["rankpct_engine@0.5_ms"] = round(t_r * 1e3, 2)
+    out["rankpct_engine@0.5_clouds_s"] = round(BS / t_r, 1)
     with open(os.path.join(os.path.dirname(__file__),
                            "pct_engine.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -460,6 +460,70 @@ def pct_forward_fused(params, points, *, num_heads: int, num_points: int,
     return logits.astype(jnp.float32)
 
 
+def rankpct_forward_fused(params, points, *, budget: float, ranking,
+                          num_heads: int, num_points: int,
+                          ln_eps: float = 1e-5,
+                          compute_dtype=jnp.bfloat16,
+                          interpret: bool = False) -> jax.Array:
+    """Fused eval forward for the RankPointCloudTransformer with PHYSICAL
+    token drop (reference models/rankpct.py:48-146 eval semantics).
+
+    The eval cascade's keep counts are rank-based, hence identical for
+    every sample: layer i with ranking on keeps
+    ``ceil(alive * budget)`` tokens — position 0 always survives
+    (protected), plus the ``n_keep - 1`` largest-norm rest tokens, chosen
+    with the reference's stable argsort tie-break. Dropped tokens in the
+    linen path keep flowing as key-masked queries that never re-enter any
+    key set or the masked mean, so physically removing them is exactly
+    equivalent (PCT has no positional embedding; attention and pooling
+    are permutation-invariant). Shapes stay static per budget — the
+    engine compiles one fn per requested budget, like the RankViT drop
+    engine. Blocks run the merged folded Pallas kernels via
+    :func:`_encoder_stack`; the final mean divides by the SURVIVOR count
+    (reference rankpct.py:170-175).
+    """
+    from peekvit_tpu.ops.pallas.pct_embed import arpe_tokens
+
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    pack = params["embedder"]["_arpe_kernel_pack"]
+    pts = points.astype(jnp.float32)
+    b, n, c = pts.shape
+    k = int(32 * num_points / 512)
+    pts_padded = jnp.pad(pts, ((0, 0), (0, 0), (0, 8 - c)))
+    tokens = cast(arpe_tokens(
+        pts_padded, pack["wc"], pack["wb"], pack["b1"], pack["w2"],
+        pack["b2"], k, 2 * c, interpret))
+
+    enc = params["encoder"]
+    ids = _layer_ids(enc)
+    alive = tokens.shape[1]
+    for i in ids:
+        if ranking[i] and budget is not None:
+            n_keep = int(np.ceil(alive * float(budget)))
+            n_keep = max(min(n_keep, alive), 1)
+            if n_keep < alive:
+                rest = tokens[:, 1:]
+                norms = jnp.linalg.norm(rest.astype(jnp.float32), axis=-1)
+                # reference tie-break: stable argsort on -norms
+                order = jnp.argsort(-norms, axis=-1, stable=True)
+                idx = order[:, :n_keep - 1]
+                kept = jnp.take_along_axis(rest, idx[..., None], axis=1)
+                tokens = jnp.concatenate([tokens[:, :1], kept], axis=1)
+                alive = n_keep
+        lp = {f"layers_{i}": enc[f"layers_{i}"]}
+        tokens = _encoder_stack(lp, tokens, num_heads, ln_eps, cast,
+                                interpret)
+
+    pooled = jnp.sum(tokens.astype(jnp.float32), axis=1) / float(alive)
+    hd, hbs = params["head"], params["_bn_stats"]["head"]
+    z = pooled @ hd["lin1"]["kernel"].astype(jnp.float32) \
+        + hd["lin1"]["bias"].astype(jnp.float32).reshape(-1)
+    z = jax.nn.gelu(_bn_eval(z, hd["bn1"], hbs["bn1"]), approximate=False)
+    logits = z @ hd["lin2"]["kernel"].astype(jnp.float32) \
+        + hd["lin2"]["bias"].astype(jnp.float32).reshape(-1)
+    return logits.astype(jnp.float32)
+
+
 def prepare_pct_engine_params(params, batch_stats, compute_dtype=None,
                               bn_eps: float = 1e-5):
     """PCT engine tree: blocks remapped under 'encoder' so the shared
@@ -2008,13 +2072,16 @@ class InferenceEngine:
                 interpret=interpret,
             ))
             return
-        if type(module).__name__ == "PointCloudTransformer":
+        if type(module).__name__ in ("PointCloudTransformer",
+                                     "RankPointCloudTransformer"):
             # PCT blocks are structurally ViT blocks: the merged folded
-            # kernels / one-dispatch encoder apply as-is; ARPE (kNN +
-            # BatchNorm) and the BN classifier head run XLA in
-            # running-stats mode. Ranked/quantized/noisy PCT stays on the
-            # linen path (RankPCT's protected-position ranking and
-            # full-count mean don't map onto the ViT drop engines).
+            # kernels / one-dispatch encoder apply as-is; the gather-free
+            # ARPE kernel replaces the top_k + neighbor-gather front end
+            # (ops/pallas/pct_embed.py) and the BN classifier head runs
+            # XLA in running-stats mode. RankPCT serves with PHYSICAL
+            # token drop, one compiled fn per budget (rankpct_forward_
+            # fused; ranking flags are read at engine build — call
+            # enable_ranking() before constructing the engine).
             if quantized or max_budget is not None or self._noise is not None:
                 raise NotImplementedError(
                     "the PCT engine is bf16 eval only (no quantized / "
@@ -2029,13 +2096,27 @@ class InferenceEngine:
                     "PCT engine needs the model's batch_stats collection")
             self.params = prepare_pct_engine_params(
                 model.params, bstats, compute_dtype)
-            self._fn = self._jit(functools.partial(
-                pct_forward_fused,
+            common = dict(
                 num_heads=module.num_heads,
                 num_points=module.num_points,
                 compute_dtype=compute_dtype,
                 interpret=interpret,
-            ))
+            )
+            if type(module).__name__ == "RankPointCloudTransformer":
+                ranking = tuple(module.ranking_enabled
+                                or (False,) * module.num_layers)
+                self._rank_layers = tuple(
+                    i for i, r in enumerate(ranking) if r)
+                self._rank_common = dict(common, ranking=ranking)
+                self._rank_fwd = rankpct_forward_fused
+                self._rank_fns = {}
+                # no-budget path: ranking blocks never fire (linen ditto)
+                self._fn = self._jit(functools.partial(
+                    rankpct_forward_fused, budget=None, ranking=ranking,
+                    **common))
+                return
+            self._fn = self._jit(functools.partial(
+                pct_forward_fused, **common))
             return
         if type(module).__name__ == "VisionTransformerMoE":
             if max_budget is not None:

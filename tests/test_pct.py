@@ -112,3 +112,28 @@ def test_pct_engine_guards():
     model = build_model("pct", ARGS)
     with pytest.raises(NotImplementedError, match="bf16 eval only"):
         InferenceEngine(model, quantized=True)
+
+
+def test_rankpct_engine_matches_linen():
+    """RankPCT physical-drop engine vs the linen eval forward (key-masked
+    queries that never re-enter keys or the pooled mean == physically
+    dropped; PCT has no positional embedding)."""
+    from peekvit_tpu.inference import InferenceEngine
+
+    model = build_model("rankpct", ARGS)
+    model.enable_ranking(True)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 64, 3)), jnp.float32)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32)
+    for budget in (0.5, 0.25, 1.0):
+        model.set_budget(budget)
+        want, aux = model(x)
+        got = eng(x, budget=budget)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"budget {budget}")
+    # no budget -> ranking blocks never fire, plain PCT math
+    model.set_budget(None)
+    want, _ = model(x)
+    np.testing.assert_allclose(np.asarray(eng(x)), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)

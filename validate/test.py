@@ -80,7 +80,8 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         ("VisionTransformer", "RankVisionTransformer",
          "ResidualVisionTransformer", "VisionTransformerMoE",
          "AdaptiveVisionTransformer", "EEResidualVisionTransformer",
-         "ResidualVisionTransformerWithDecoder", "PointCloudTransformer")
+         "ResidualVisionTransformerWithDecoder", "PointCloudTransformer",
+         "RankPointCloudTransformer")
     ):
         from peekvit_tpu.inference import InferenceEngine
 
