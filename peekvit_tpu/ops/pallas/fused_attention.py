@@ -549,6 +549,8 @@ def keymasked_attention_block(x, key_mask, ln_scale, ln_bias, w_qkv, b_qkv,
 # optima (mi=2/4 and 2/4/6-layer fusion are flat or worse).
 
 _MERGED_VMEM_LIMIT = 100 * 1024 * 1024
+# one-call mi=2 clamp threshold (see encoder_layers_one_call)
+_ONE_CALL_WORKSET_LIMIT = 64 * 1024 * 1024
 
 
 def _ln_f32_rows(xf, s_ref, b_ref, eps):
@@ -794,6 +796,18 @@ def encoder_layers_one_call(x, stacked, num_heads: int, eps: float = 1e-5,
     b, n, _ = x.shape
     m = stacked["w1"].shape[-1]
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
+    # working-set clamp: mi=2 wins at ViT-B (-0.5 ms) but LOSES at ViT-L
+    # (88.5 -> 103.8 ms for the 24-layer stack, measured) — the doubled
+    # per-cell fp32 intermediates spill once weights + scratch crowd
+    # VMEM. Estimate double-buffered weights + per-image fp32 scratch
+    # (qkv + gelu input + attn/out rows) and fall back to mi=1 past
+    # ~64 MB (ViT-B 42 MB -> mi=2; ViT-L 68 MB / ViT-H 79 MB -> mi=1).
+    while mi > 1:
+        weights_b = (4 * d * d + 2 * d * m) * x.dtype.itemsize * 2
+        scratch_b = mi * n * (3 * d + m + 4 * d) * 4
+        if weights_b + scratch_b <= _ONE_CALL_WORKSET_LIMIT:
+            break
+        mi //= 2
     io = pl.BlockSpec((mi, n, d), lambda l, bi: (bi, 0, 0),
                       memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(  # noqa: E731

@@ -148,6 +148,7 @@ def train(cfg) -> dict:
         pipeline_stages=pipeline_stages,
         pipeline_microbatches=int(tr.get("pipeline_microbatches") or 0),
         sequence_parallel_devices=sp_devices,
+        parallel_kernels=tr.get("parallel_kernels", "auto"),
     )
 
     train_budget = tr.get("train_budget")
