@@ -78,6 +78,65 @@ def device_seconds_per_iter(step_sum_fn, args, reps: int = 20) -> float:
     return (tn - t1) / reps
 
 
+def device_train_seconds_per_step(vg_fn, update_fn, params, opt_state, x,
+                                  reps: int = 8, samples: int = 3) -> float:
+    """Seconds per optimizer step (fwd + bwd + update) measured on device.
+
+    ``vg_fn(params, x) -> (loss, grads)``; ``update_fn(grads, opt_state,
+    params) -> (new_params, new_opt_state)``. The step runs inside a jitted
+    ``fori_loop`` carrying (params, opt_state, loss-scalar), timed by the
+    same (loop(N+1) - loop(1)) / N subtraction as ``device_seconds_per_iter``.
+
+    Methodology (round 4, pinned by benchmarks/train_decomp.py's
+    ``scheduling_artifact_ms``): a naive loop — grads flowing straight into
+    the optimizer, loss alone in the carry — gives XLA cross-iteration
+    scheduling freedom that a real host-dispatched training loop (one
+    donated jit call per step) never has, and XLA uses it BADLY: ViT-B/16
+    bs256 measured +19 ms/step with plain SGD and +24 ms with adam, batch-
+    proportional (+7 ms at bs64), optimizer-independent, and immune to every
+    weight-processing explanation (updating all 86.6M params from real
+    grads inside an otherwise-identical loop costs < 1 ms). Consuming every
+    grad leaf into the carried scalar — after an ``optimization_barrier`` —
+    pins the serialized per-step schedule; the consumed loop closes exactly
+    to fwd_bwd + the optimizer's HBM-traffic bound (adam: ~2.4 GB over
+    86.6M fp32 params ≈ 3.5 ms). The barrier alone does NOT recover it
+    (-5.8 ms of fusion damage only); the consume-sum is load-bearing.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def loop(carry, n):
+        def body(i, c):
+            p, o, s = c
+            loss, grads = vg_fn(p, x.at[0, 0, 0, 0].add(
+                (s * 0).astype(x.dtype)))
+            grads = jax.lax.optimization_barrier(grads)
+            consume = jax.tree.reduce(
+                lambda a, b: a + b,
+                jax.tree.map(lambda g: jnp.sum(g.astype(jnp.float32)),
+                             grads),
+                jnp.float32(0.0))
+            p2, o2 = update_fn(grads, o, p)
+            return p2, o2, loss + consume * 1e-30
+
+        return jax.lax.fori_loop(
+            0, n, body, (carry[0], carry[1], jnp.float32(0.0)))[-1]
+
+    def timed(n):
+        float(loop((params, opt_state), n))  # compile / warm
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.time()
+            float(loop((params, opt_state), n))
+            best = min(best, time.time() - t0)
+        return best
+
+    t1 = timed(1)
+    tn = timed(reps + 1)
+    return (tn - t1) / reps
+
+
 def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
     import functools
 

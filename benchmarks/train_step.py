@@ -12,10 +12,14 @@ real chip, the full train step (fwd + bwd + adam update) for ViT-B/16 @224:
   - merged: merged=True — ops/pallas/fused_layer_vjp, ONE kernel per
             direction, weight grads accumulated in VMEM
 
-Writes benchmarks/train_step.json. Timing uses the same on-device
-fori_loop subtraction as bench.py (the axon tunnel acks dispatches early),
-with (params, opt_state) as the loop carry so every iteration is a real
-optimizer step on the previous iteration's weights.
+Writes benchmarks/train_step.json. Timing uses
+bench.device_train_seconds_per_step: an on-device fori_loop carrying
+(params, opt_state) so every iteration is a real optimizer step on the
+previous iteration's weights, with the GRAD-CONSUMING carry — without it,
+XLA exploits cross-iteration scheduling freedom a host-dispatched train
+loop never has and every variant reads ~8-12% slow (the round-4
+methodology fix; artifact pinned by benchmarks/train_decomp.py's
+scheduling_artifact_ms).
 """
 
 from __future__ import annotations
@@ -24,7 +28,6 @@ import functools
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -32,40 +35,9 @@ import optax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import peak_flops  # noqa: E402
+from bench import device_train_seconds_per_step, peak_flops  # noqa: E402
 from peekvit_tpu.models.registry import build_model  # noqa: E402
 from peekvit_tpu.utils.flops_count import analytic_macs  # noqa: E402
-
-
-def _timed_loop(step, params, opt_state, x, y, reps: int = 10):
-    """Seconds per train step: jitted fori_loop carrying (params, opt),
-    (loop(N+1) - loop(1)) / N, min-of-3 per sample (see bench.py)."""
-
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def loop(carry, xy, n):
-        def body(i, c):
-            p, o, s = c
-            x_, y_ = xy
-            # data-dependent perturbation keeps iterations serialized
-            p2, o2, loss = step(p, o, x_.at[0, 0, 0, 0].add(s * 0), y_)
-            return p2, o2, loss
-
-        p, o, loss = jax.lax.fori_loop(0, n, body,
-                                       (carry[0], carry[1], jnp.float32(0.0)))
-        return loss
-
-    def timed(n, samples: int = 3):
-        float(loop((params, opt_state), (x, y), n))
-        best = float("inf")
-        for _ in range(samples):
-            t0 = time.time()
-            float(loop((params, opt_state), (x, y), n))
-            best = min(best, time.time() - t0)
-        return best
-
-    t1 = timed(1)
-    tn = timed(reps + 1)
-    return (tn - t1) / reps
 
 
 def main(batch: int = 256, reps: int = 10):
@@ -87,18 +59,17 @@ def main(batch: int = 256, reps: int = 10):
                           jnp.float32)
     y = jax.random.randint(jax.random.key(1), (batch,), 0, 1000)
 
-    def make_step(fwd):
-        def step(p, o, x_, y_):
-            def loss_fn(pp):
-                logits = fwd(pp, x_)
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    logits, y_).mean()
+    def update_fn(grads, o, p):
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2
 
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, o2 = tx.update(grads, o, p)
-            return optax.apply_updates(p, updates), o2, loss
+    def make_vg(fwd):
+        def loss_fn(pp, x_):
+            logits = fwd(pp, x_)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
 
-        return step
+        return jax.value_and_grad(loss_fn)
 
     apply_fn = model.apply_fn()
 
@@ -112,17 +83,18 @@ def main(batch: int = 256, reps: int = 10):
         interpret=not on_tpu)
 
     variants = {
-        "linen_fp32": make_step(linen_fwd),
-        "split_bf16": make_step(functools.partial(fused, merged=False)),
-        "split_remat_bf16": make_step(
+        "linen_fp32": make_vg(linen_fwd),
+        "split_bf16": make_vg(functools.partial(fused, merged=False)),
+        "split_remat_bf16": make_vg(
             functools.partial(fused, merged=False, remat=True)),
-        "merged_bf16": make_step(functools.partial(fused, merged=True)),
-        "hybrid_bf16": make_step(functools.partial(fused, merged="hybrid")),
+        "merged_bf16": make_vg(functools.partial(fused, merged=True)),
+        "hybrid_bf16": make_vg(functools.partial(fused, merged="hybrid")),
     }
     out = {"batch": batch, "model": "vit_b16_224", "step": "fwd+bwd+adam"}
     secs = {}
-    for name, step in variants.items():
-        s = _timed_loop(step, params, opt_state, x, y, reps=reps)
+    for name, vg in variants.items():
+        s = device_train_seconds_per_step(vg, update_fn, params, opt_state,
+                                          x, reps=reps)
         secs[name] = s
         out[f"{name}_ms"] = round(s * 1e3, 3)
         out[f"{name}_img_s"] = round(batch / s, 1)

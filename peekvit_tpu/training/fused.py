@@ -123,7 +123,11 @@ def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
                           interpret: Optional[bool] = None,
                           merged="auto"):
     """Jitted (params, opt_state, x, y) -> (params, opt_state, loss) for a
-    plain ViT with the fused-attention training path."""
+    plain ViT with the fused-attention training path.
+
+    params/opt_state are DONATED (rebind them from the return value, as the
+    Trainer does): without donation every step pays an extra ~1 GB of
+    HBM alloc+copy for the 86.6M-param fp32 tree + adam state."""
     import optax
 
     module = model.module
@@ -142,7 +146,7 @@ def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
         merged=merged,
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y):
         def loss_fn(p):
             logits = fwd(p, x)
