@@ -209,6 +209,44 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
         ips2048, _ = measure(2048, max(4, reps // 4), rounds=3)
         result["value_bs2048"] = round(ips2048, 1)
         result["vs_baseline_bs2048"] = round(ips2048 / roofline, 4)
+    if on_tpu:
+        # train throughput rider (ViT-B/16 bs256 fwd+bwd+adam, the shipped
+        # split fused path): pins the training number in the driver-run
+        # artifact; guarded so the eval headline survives any train-path
+        # failure. vs_train_roofline uses the 3x-forward-FLOPs convention.
+        try:
+            import optax
+
+            from peekvit_tpu.training.fused import vit_forward_trainable
+
+            yt = jax.random.randint(jax.random.key(3), (batch_size,), 0,
+                                    1000)
+
+            def loss_fn(p, x):
+                logits = vit_forward_trainable(
+                    p, x, patch_size=16, num_heads=12, interpret=False)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yt).mean()
+
+            tx = optax.adam(1e-3)
+            opt_state = tx.init(model.params)
+
+            def update_fn(grads, o, p):
+                updates, o2 = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o2
+
+            xt = jax.random.normal(jax.random.key(2),
+                                   (batch_size, 224, 224, 3), jnp.float32)
+            secs = min(
+                device_train_seconds_per_step(
+                    jax.value_and_grad(loss_fn), update_fn,
+                    model.params, opt_state, xt, reps=6)
+                for _ in range(2))
+            result["train_value"] = round(batch_size / secs, 1)
+            result["train_vs_roofline"] = round(
+                batch_size / secs / (roofline / 3.0), 4)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"train rider skipped: {e}", file=sys.stderr, flush=True)
     print(json.dumps(result))
     return result
 
