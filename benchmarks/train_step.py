@@ -40,12 +40,14 @@ from peekvit_tpu.models.registry import build_model  # noqa: E402
 from peekvit_tpu.utils.flops_count import analytic_macs  # noqa: E402
 
 
-def main(batch: int = 256, reps: int = 10):
+def main(batch: int = 256, reps: int = 10, sections=("vit", "residual")):
     from peekvit_tpu.training.fused import vit_forward_trainable
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", file=sys.stderr, flush=True)
     on_tpu = jax.default_backend() == "tpu"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "train_step.json")
 
     model = build_model(
         "vit",
@@ -84,36 +86,82 @@ def main(batch: int = 256, reps: int = 10):
 
     variants = {
         "linen_fp32": make_vg(linen_fwd),
-        "split_bf16": make_vg(functools.partial(fused, merged=False)),
+        "split_bf16": make_vg(
+            functools.partial(fused, merged=False, save_qkv=False)),
+        "split_saveqkv_bf16": make_vg(
+            functools.partial(fused, merged=False, save_qkv=True)),
         "split_remat_bf16": make_vg(
             functools.partial(fused, merged=False, remat=True)),
         "merged_bf16": make_vg(functools.partial(fused, merged=True)),
         "hybrid_bf16": make_vg(functools.partial(fused, merged="hybrid")),
     }
     out = {"batch": batch, "model": "vit_b16_224", "step": "fwd+bwd+adam"}
+    if os.path.exists(path) and sections != ("vit", "residual"):
+        with open(path) as f:  # partial rerun: merge into existing
+            out.update(json.load(f))
     secs = {}
-    for name, vg in variants.items():
-        s = device_train_seconds_per_step(vg, update_fn, params, opt_state,
-                                          x, reps=reps)
-        secs[name] = s
-        out[f"{name}_ms"] = round(s * 1e3, 3)
-        out[f"{name}_img_s"] = round(batch / s, 1)
-        print(f"{name}: {s * 1e3:.2f} ms/step = {batch / s:.0f} img/s",
-              file=sys.stderr, flush=True)
+    if "vit" in sections:
+        for name, vg in variants.items():
+            s = device_train_seconds_per_step(vg, update_fn, params,
+                                              opt_state, x, reps=reps)
+            secs[name] = s
+            out[f"{name}_ms"] = round(s * 1e3, 3)
+            out[f"{name}_img_s"] = round(batch / s, 1)
+            print(f"{name}: {s * 1e3:.2f} ms/step = {batch / s:.0f} img/s",
+                  file=sys.stderr, flush=True)
 
-    best = min((v for k, v in secs.items() if k != "linen_fp32"),
-               default=None)
-    best_name = next(k for k, v in secs.items() if v == best)
-    out["best"] = best_name
-    out["best_vs_linen"] = round(secs["linen_fp32"] / best, 3)
-    out["best_vs_split"] = round(secs["split_bf16"] / best, 3)
-    # train-step roofline: 3x the forward FLOPs (fwd + 2 matmul passes in
-    # bwd), ignoring the optimizer's elementwise sweep
-    flops_step = 3 * 2.0 * analytic_macs(model.module) * batch
-    out["best_vs_train_roofline"] = round(
-        (flops_step / best) / peak_flops(dev), 4)
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "train_step.json")
+    # --- gated ResidualViT fine-tune step (bs 128): the masked custom-VJP
+    # block, recompute-style vs save_qkv (which also kills the second
+    # full-attention recompute the masked backward pays for dm)
+    from peekvit_tpu.training.fused import (residualvit_forward_trainable,
+                                            sample_budgets)
+
+    rmodel = build_model("residualvit", dict(
+        image_size=224, patch_size=16, num_layers=12, num_heads=12,
+        hidden_dim=768, mlp_dim=3072, num_classes=1000,
+        residual_layers=["attention+mlp"] * 12, gate_type="sigmoid",
+        add_budget_token="learnable"))
+    rbatch = 128
+    rx = jax.random.normal(jax.random.key(4), (rbatch, 224, 224, 3),
+                           jnp.float32)
+    ry = jax.random.randint(jax.random.key(5), (rbatch,), 0, 1000)
+    bvec = sample_budgets(rmodel.module, jax.random.key(6), rbatch)
+    ropt = tx.init(rmodel.params)
+
+    def make_res_vg(save_qkv):
+        def loss_fn(pp, x_):
+            logits, aux = residualvit_forward_trainable(
+                pp, x_, bvec, patch_size=16, num_heads=12,
+                interpret=not on_tpu, save_qkv=save_qkv)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, ry).mean()
+            sparsity = sum(jnp.mean(m) for m in aux["masks"].values())
+            return ce + 1e-4 * sparsity
+
+        return jax.value_and_grad(loss_fn)
+
+    if "residual" in sections:
+        for name, sq in (("residual_recompute", False),
+                         ("residual_saveqkv", True)):
+            s = device_train_seconds_per_step(
+                make_res_vg(sq), update_fn, rmodel.params, ropt, rx,
+                reps=reps)
+            out[f"{name}_ms"] = round(s * 1e3, 3)
+            out[f"{name}_img_s"] = round(rbatch / s, 1)
+            print(f"{name}: {s * 1e3:.2f} ms/step = {rbatch / s:.0f} img/s",
+                  file=sys.stderr, flush=True)
+
+    if secs:
+        best = min(v for k, v in secs.items() if k != "linen_fp32")
+        best_name = next(k for k, v in secs.items() if v == best)
+        out["best"] = best_name
+        out["best_vs_linen"] = round(secs["linen_fp32"] / best, 3)
+        out["best_vs_split"] = round(secs["split_bf16"] / best, 3)
+        # train-step roofline: 3x the forward FLOPs (fwd + 2 matmul passes
+        # in bwd), ignoring the optimizer's elementwise sweep
+        flops_step = 3 * 2.0 * analytic_macs(model.module) * batch
+        out["best_vs_train_roofline"] = round(
+            (flops_step / best) / peak_flops(dev), 4)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
@@ -121,4 +169,4 @@ def main(batch: int = 256, reps: int = 10):
 
 
 if __name__ == "__main__":
-    main()
+    main(sections=tuple(sys.argv[1:]) or ("vit", "residual"))

@@ -5,7 +5,10 @@ the _MERGED_WEIGHT_BYTES_LIMIT budget — ViT-L (25 MB/layer) and ViT-H
 (39 MB/layer) both qualify, so the same one-dispatch/merged engine path
 serves them; anything larger falls back per-sublayer and then to XLA
 (guarded, tested). This sweep pins throughput and roofline fraction per
-scale. Writes benchmarks/vit_scale.json.
+scale, for both the bf16 engine and the int8 dynamic-quant engine
+(`vs_roofline_int8` is still vs the BF16 roofline — >1.0 means the int8
+path beats what bf16 hardware could ever do). Writes
+benchmarks/vit_scale.json.
 """
 
 from __future__ import annotations
@@ -47,19 +50,25 @@ def main():
         model = build_model("vit", spec)
         model.params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
                                     model.params)
-        eng = InferenceEngine(model)
         x = jax.random.normal(jax.random.key(0), (bs, 224, 224, 3),
                               jnp.bfloat16)
-
-        def step(params, xx, carry, fn=eng._fn):
-            return jnp.sum(fn(params, xx.at[0, 0, 0, 0].add(
-                (carry * 0).astype(xx.dtype))))
-
-        t = min(device_seconds_per_iter(step, (eng.params, x), reps=10)
-                for _ in range(2))
         roofline = peak_flops(dev) / (2.0 * analytic_macs(model.module))
-        out[name] = {"batch": bs, "img_s": round(bs / t, 1),
-                     "vs_roofline": round(bs / t / roofline, 4)}
+        out[name] = {"batch": bs}
+        # bf16 merged/one-dispatch engine + the int8 (dynamic per-row
+        # quant) engine — int8 weights are half bf16 so the VMEM-residency
+        # guards admit L/H a fortiori; this pins whether the 2x MXU int8
+        # rate survives the larger head_dim/mlp shapes
+        for tag, kw in (("", {}), ("_int8", dict(quantized=True))):
+            eng = InferenceEngine(model, **kw)
+
+            def step(params, xx, carry, fn=eng._fn):
+                return jnp.sum(fn(params, xx.at[0, 0, 0, 0].add(
+                    (carry * 0).astype(xx.dtype))))
+
+            t = min(device_seconds_per_iter(step, (eng.params, x), reps=10)
+                    for _ in range(2))
+            out[name]["img_s" + tag] = round(bs / t, 1)
+            out[name]["vs_roofline" + tag] = round(bs / t / roofline, 4)
         print(json.dumps({name: out[name]}), flush=True)
     with open(os.path.join(os.path.dirname(__file__),
                            "vit_scale.json"), "w") as f:

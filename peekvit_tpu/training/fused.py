@@ -37,7 +37,7 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                           ln_eps: float = 1e-5, compute_dtype=jnp.bfloat16,
                           remat: bool = False,
                           interpret: bool = False,
-                          merged="auto") -> jax.Array:
+                          merged="auto", save_qkv="auto") -> jax.Array:
     """Differentiable fused eval/train forward (no dropout paths — the
     reference ViT configs all train with dropout 0.0).
 
@@ -94,6 +94,16 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                 num_heads, ln_eps, interpret, 1,
             )
     else:
+        if save_qkv == "auto":
+            # measured WIN at ViT-B/16 bs256: 218.9 -> 204.6 ms/step
+            # (+6.9%, benchmarks/train_step.json split_saveqkv_bf16) — the
+            # (B, N, 3D) HBM round trip is cheaper than the backward's
+            # LN+qkv matmul recompute plus XLA's fp32 LN rematerialization.
+            # Under remat the checkpointed fwd re-runs in the backward and
+            # re-writes the save, so the trade is unmeasured there — keep
+            # the recompute-everything shape remat exists for.
+            save_qkv = not remat
+
         def layer(tokens, lp):
             at = lp["self_attention"]
             tokens = attention_block_trainable(
@@ -101,7 +111,7 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
                 cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
                 cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
                 cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-                num_heads, ln_eps, interpret, 1,
+                num_heads, ln_eps, interpret, 1, save_qkv,
             )
             z = _layer_norm(tokens, cast(lp["ln_2"]["scale"]),
                             cast(lp["ln_2"]["bias"]), ln_eps)
@@ -121,7 +131,7 @@ def vit_forward_trainable(params, images, *, patch_size: int, num_heads: int,
 def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
                           remat: bool = False,
                           interpret: Optional[bool] = None,
-                          merged="auto"):
+                          merged="auto", save_qkv="auto"):
     """Jitted (params, opt_state, x, y) -> (params, opt_state, loss) for a
     plain ViT with the fused-attention training path.
 
@@ -144,6 +154,7 @@ def make_fused_train_step(model, tx, compute_dtype=jnp.bfloat16,
         remat=remat,
         interpret=interpret,
         merged=merged,
+        save_qkv=save_qkv,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -168,7 +179,8 @@ def residualvit_forward_trainable(params, images, budget_vec, *,
                                   gate_bias: float = 0.0,
                                   budget_token="learnable",
                                   compute_dtype=jnp.bfloat16,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  save_qkv: bool = True):
     """Differentiable fused ResidualViT forward (sigmoid gates,
     'attention+mlp' skip). Returns (logits, aux) with aux['masks'] and
     aux['current_budget'] so LossCompose regularizers apply unchanged.
@@ -236,7 +248,7 @@ def residualvit_forward_trainable(params, images, budget_vec, *,
             cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
             cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
             cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
-            num_heads, 1e-6, interpret,
+            num_heads, 1e-6, interpret, save_qkv,
         )
         # MLP half on XLA: tokens + MLP(mask * LN2(tokens)) — natively
         # differentiable (plain_forward keeps the MLP output unmasked)

@@ -125,3 +125,19 @@ def test_synthetic_is_learnable_signal():
     d = ((xv[:, None] - means[None]) ** 2).sum(axis=(2, 3, 4))
     acc = (d.argmin(axis=1) == yv).mean()
     assert acc > 0.9
+
+
+def test_input_pipeline_benchmark_corpus(tmp_path):
+    """The input-pipeline benchmark's synthetic JPEG corpus loads through
+    both ImageFolder decode paths and the loader's epoch-rate helper."""
+    from benchmarks.input_pipeline import _epoch_rate, build_corpus
+
+    root = build_corpus(str(tmp_path / "corpus"), n_classes=2, per_class=3)
+    assert build_corpus(root, n_classes=2, per_class=3) == root  # cached
+    ds = ImageFolder(root, T.test_transform(32))
+    assert len(ds) == 6
+    x, y = ds[0]
+    assert x.shape == (32, 32, 3) and 0 <= y < 2
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    rate = _epoch_rate(loader, skip=1)
+    assert rate > 0

@@ -27,8 +27,9 @@ def _reference_block(x, lns, lnb, wqkv, bqkv, wo, bo, num_heads, eps=1e-5):
     return attn @ wo + bo + x
 
 
-@pytest.mark.parametrize("mi", [1, 2])
-def test_attention_block_grads_match_reference(mi):
+@pytest.mark.parametrize("mi,save_qkv", [(1, False), (2, False),
+                                         (1, True), (2, True)])
+def test_attention_block_grads_match_reference(mi, save_qkv):
     rng = np.random.default_rng(0)
     b, n, d, heads = 2, 17, 32, 4
     f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
@@ -44,12 +45,14 @@ def test_attention_block_grads_match_reference(mi):
 
     def loss_fused(*args):
         return jnp.sum(
-            attention_block_trainable(*args, heads, 1e-5, True, mi) * g_out
+            attention_block_trainable(*args, heads, 1e-5, True, mi,
+                                      save_qkv) * g_out
         )
 
     args = (x, lns, lnb, wqkv, bqkv, wo, bo)
     out_ref = _reference_block(*args, heads)
-    out_fused = attention_block_trainable(*args, heads, 1e-5, True, mi)
+    out_fused = attention_block_trainable(*args, heads, 1e-5, True, mi,
+                                          save_qkv)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -124,7 +127,8 @@ def _reference_masked_block(x, m, lns, lnb, wqkv, bqkv, wo, bo, num_heads,
     return x + m * (attn @ wo + bo)
 
 
-def test_masked_attention_block_grads_match_reference():
+@pytest.mark.parametrize("save_qkv", [False, True])
+def test_masked_attention_block_grads_match_reference(save_qkv):
     from peekvit_tpu.ops.pallas.fused_attention_vjp import (
         masked_attention_block_trainable,
     )
@@ -147,11 +151,13 @@ def test_masked_attention_block_grads_match_reference():
 
     def loss_fused(*a):
         return jnp.sum(
-            masked_attention_block_trainable(*a, heads, 1e-6, True) * g_out
+            masked_attention_block_trainable(*a, heads, 1e-6, True,
+                                             save_qkv) * g_out
         )
 
     np.testing.assert_allclose(
-        np.asarray(masked_attention_block_trainable(*args, heads, 1e-6, True)),
+        np.asarray(masked_attention_block_trainable(*args, heads, 1e-6,
+                                                    True, save_qkv)),
         np.asarray(_reference_masked_block(*args, heads)),
         rtol=2e-5, atol=2e-5,
     )
