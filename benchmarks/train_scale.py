@@ -129,7 +129,9 @@ def main(only=None):
                     (batch, True, _measure_one),
                     (batch // 2, True, _measure_one),
                     (batch, False, _measure_host_loop),
-                    (batch, True, _measure_host_loop)]
+                    (batch, True, _measure_host_loop),
+                    (batch // 2, True, _measure_host_loop),
+                    (batch // 4, True, _measure_host_loop)]
         secs = bs = remat = method = None
         for bs_, remat_, fn in attempts:
             try:

@@ -89,6 +89,12 @@ class Trainer:
     # grad accumulators fit VMEM, linen XLA math otherwise; 'pallas'/'xla'
     # force it (pallas on CPU runs the interpreter — tests only)
     parallel_kernels: str = "auto"
+    # >1: average gradients over k train_step calls before the optimizer
+    # applies (optax.MultiSteps) — an effective batch of k*train_batch_size
+    # on a fixed per-step HBM budget. Composes with every step builder
+    # (fused/pipeline/SP/linen) because they all route through tx.update;
+    # grad clipping sees the AVERAGED gradient, matching a true big batch.
+    grad_accumulation: int = 1
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -101,6 +107,11 @@ class Trainer:
         tx = self.optimizer.build(param_mask=mask)
         if self.clip_grad_norm:
             tx = optax.chain(optax.clip_by_global_norm(self.clip_grad_norm), tx)
+        if self.grad_accumulation and self.grad_accumulation > 1:
+            # MultiStepsState is a NamedTuple, so the lr stays reachable for
+            # the per-epoch scheduler write (optim._walk_opt_state recurses
+            # through tuples into inner_opt_state).
+            tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accumulation)
         self.tx = tx
         self.opt_state = tx.init(self.model.params)
         self._base_key = jax.random.key(self.seed)

@@ -217,3 +217,43 @@ def test_train_epoch_returns_batch_means():
     np.testing.assert_allclose(sums["total_loss"], want, rtol=1e-6)
     # the per-step losses differ, so a last-batch value would NOT match
     assert not np.isclose(per_step[-1]["train/total_loss"], want, rtol=1e-6)
+
+
+def test_grad_accumulation_matches_big_batch():
+    """k accumulated microbatch steps == one step on the concatenated batch
+    (optax.MultiSteps averages grads; CE-mean over equal halves = full-batch
+    mean), including the lr-schedule write into the wrapped opt state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from peekvit_tpu.models.registry import build_model
+    from peekvit_tpu.training.optim import Adam, get_learning_rate
+    from peekvit_tpu.training.trainer import Trainer
+
+    spec = dict(image_size=16, patch_size=8, num_layers=1, num_heads=2,
+                hidden_dim=32, mlp_dim=64, num_classes=5)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, size=(8,)), jnp.int32)
+
+    def run(ga, batches):
+        model = build_model("vit", spec, seed=13)
+        tr = Trainer(model=model, optimizer=Adam(lr=1e-2),
+                     clip_grad_norm=1.0, grad_accumulation=ga)
+        for bx, by in batches:
+            tr.train_step(bx, by)
+        return tr.model.params, tr.opt_state
+
+    p_big, _ = run(1, [(x, y)])
+    p_acc, acc_state = run(2, [(x[:4], y[:4]), (x[4:], y[4:])])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7),
+        p_big, p_acc)
+    # lr remains reachable through the MultiSteps wrapper
+    assert get_learning_rate(acc_state) is not None
+    # a non-boundary microstep must leave params untouched
+    p_half, _ = run(2, [(x[:4], y[:4])])
+    model0 = build_model("vit", spec, seed=13)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 p_half, model0.params)

@@ -149,6 +149,7 @@ def train(cfg) -> dict:
         pipeline_microbatches=int(tr.get("pipeline_microbatches") or 0),
         sequence_parallel_devices=sp_devices,
         parallel_kernels=tr.get("parallel_kernels", "auto"),
+        grad_accumulation=int(tr.get("grad_accumulation") or 1),
     )
 
     train_budget = tr.get("train_budget")
