@@ -28,13 +28,28 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 num_workers: int = 0, drop_last: bool = False, seed: int = 0):
+                 num_workers: int = 0, drop_last: bool = False, seed: int = 0,
+                 shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.num_workers = int(num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        # Multi-host data parallelism: ``shard=(rank, world)`` makes this
+        # process load only its 1/world of every epoch (torch
+        # DistributedSampler semantics: the SAME seeded global shuffle on
+        # every host, wrap-padded to a multiple of world, then strided by
+        # rank — shards are disjoint, their union covers the epoch, and
+        # per-host streams stay deterministic). ``batch_size`` stays the
+        # PER-HOST size; pair with rank = jax.process_index(),
+        # world = jax.process_count() on a pod.
+        if shard is not None:
+            rank, world = int(shard[0]), int(shard[1])
+            if not 0 <= rank < world:
+                raise ValueError(f"shard rank {rank} not in [0, {world})")
+            shard = (rank, world)
+        self.shard = shard
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -42,6 +57,8 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard is not None:
+            n = -(-n // self.shard[1])  # wrap-padded shard size
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -51,6 +68,12 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self._epoch))
             rng.shuffle(idx)
+        if self.shard is not None:
+            rank, world = self.shard
+            pad = (-len(idx)) % world
+            if pad:  # wrap-pad so every rank sees the same count
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[rank::world]
         return idx
 
     def _collate(self, items):

@@ -79,6 +79,42 @@ def test_dataloader_batching_and_determinism(num_workers):
     assert len(all_labels) == 37
 
 
+def test_dataloader_multihost_shard():
+    """shard=(rank, world): disjoint per-host streams (up to the wrap-pad)
+    whose union covers the epoch, same count on every rank, deterministic
+    from the shared seeded shuffle — DistributedSampler semantics for
+    multi-host data parallelism (rank=jax.process_index() on a pod)."""
+
+    class _Indexed:
+        def __len__(self):
+            return 37
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, np.float32), i
+
+    world = 4
+    per_rank = []
+    for rank in range(world):
+        dl = DataLoader(_Indexed(), batch_size=5, shuffle=True, seed=7,
+                        shard=(rank, world))
+        dl.set_epoch(2)
+        got = np.concatenate([y for _, y in dl])
+        assert len(got) == 10  # ceil(37/4): wrap-padded equal share
+        assert len(dl) == 2  # ceil(10/5)
+        per_rank.append(got)
+    allv = np.concatenate(per_rank)
+    assert set(allv.tolist()) == set(range(37))  # epoch fully covered
+    assert len(allv) == world * 10  # 3 wrap-pad duplicates
+    # deterministic: re-iterating a rank reproduces its stream
+    dl0 = DataLoader(_Indexed(), batch_size=5, shuffle=True, seed=7,
+                     shard=(0, world))
+    dl0.set_epoch(2)
+    np.testing.assert_array_equal(per_rank[0],
+                                  np.concatenate([y for _, y in dl0]))
+    with pytest.raises(ValueError):
+        DataLoader(_Indexed(), batch_size=5, shard=(4, 4))
+
+
 def test_dataloader_drop_last():
     ds = Synthetic(image_size=8, num_classes=2, train_size=25, val_size=8)
     dl = DataLoader(ds.train_dataset, batch_size=10, drop_last=True)

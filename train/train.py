@@ -90,9 +90,15 @@ def train(cfg) -> dict:
     # --- dataset + loaders (train.py:54-57)
     dataset = instantiate(cfg.dataset)
     tr = cfg.training
+    # On a multi-host pod each process loads its own 1/world of every epoch
+    # (same seeded shuffle everywhere -> disjoint shards; the global batch
+    # assembles across hosts through the data-sharded device_put).
+    shard = (jax.process_index(), jax.process_count()) \
+        if jax.process_count() > 1 else None
     train_loader = DataLoader(
         dataset.train_dataset, tr.train_batch_size, shuffle=True,
         num_workers=tr.get("num_workers", 8), drop_last=True, seed=cfg.seed,
+        shard=shard,
     )
     val_loader = DataLoader(
         dataset.val_dataset, tr.eval_batch_size,
