@@ -31,11 +31,21 @@ Round-4 findings pinned by this script (v5e, 86.6M params):
     scalar (bench.device_train_seconds_per_step) pins the serialized
     schedule and the decomposition CLOSES: full_step = fwd_bwd + adam's
     HBM-traffic bound (~2.4 GB => ~3.5 ms), sgd_step = fwd_bwd + ~1 GB.
-  - bwd at ~2.4x fwd is EXPLAINED, not headroom: the split path's
-    backward recomputes qkv + attention logits flash-style (saving the
-    (B,N,3D) qkv and (B,H,N,N) score HBM round trips), which is ~0.26x
-    the forward FLOPs, so its FLOP-ratio floor is ~2.26x fwd; the
-    measured gap to that floor is ~7 ms (< 5%).
+  - With save_qkv (round-4 session 3 refresh) every phase sits AT its
+    floor — the step is fully accounted for:
+      fwd 64.2 ms = the eval engine's 53.0 ms (itself 96% of the measured
+        MXU ceiling) + ~11 ms of mandatory saved-activation HBM writes
+        (per layer: qkv 232 MB + gelu input 310 MB + attention out 78 MB
+        + LN saves, ~= 9 GB/step at 819 GB/s v5e HBM);
+      bwd 137.1 ms = 2.13x fwd = the recompute-FLOP floor now that only
+        the (B,H,N,N) attention logits are recomputed flash-style
+        (~0.13x fwd FLOPs; before save_qkv the floor was 2.26x and the
+        measured 2.38x left a ~7 ms gap — saving qkv removed both);
+      adam 4.2 ms ~= its ~2.4 GB HBM-traffic bound; SGD = fwd_bwd.
+    Remaining distance to the 3x-FLOPs roofline (0.666) is the roofline's
+    own idealization: it prices neither the save/restore traffic nor the
+    recompute FLOPs that ANY memory-feasible transformer training step
+    pays.
 """
 
 from __future__ import annotations
