@@ -17,6 +17,7 @@ from peekvit_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     shard_params,
+    zero1_optimizer_sharding,
 )
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "shard_params",
+    "zero1_optimizer_sharding",
 ]
 from peekvit_tpu.parallel.pipeline import (  # noqa: F401
     STAGE_AXIS,

@@ -101,3 +101,29 @@ def shard_batch(batch, mesh: Mesh):
     """Shard host batch arrays over the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def zero1_optimizer_sharding(opt_state, mesh: Mesh):
+    """ZeRO-1 placement for an optimizer-state pytree: every array leaf is
+    sharded over the ``data`` axis on its first divisible dimension
+    (adam's m/v and MultiSteps' grad accumulators are param-shaped, so
+    this cuts the resident optimizer state to 1/n_data per chip — at
+    ViT-H/14 that is 7.6 GB -> <1 GB on 8 chips); non-divisible leaves
+    and scalars (step counts) stay replicated.
+
+    XLA's partitioner derives the rest of the ZeRO-1 schedule from these
+    shardings alone: each device updates only its state shard and the
+    resulting update slice, and the apply-to-replicated-params add
+    becomes the all-gather. Returns a pytree of ``NamedSharding`` with
+    the same structure as ``opt_state`` (usable with ``jax.device_put``
+    and as per-step ``with_sharding_constraint`` targets)."""
+    n = mesh.shape[DATA_AXIS]
+
+    def spec(leaf):
+        for axis, s in enumerate(getattr(leaf, "shape", ())):
+            if s >= n and s % n == 0:
+                return NamedSharding(
+                    mesh, P(*([None] * axis + [DATA_AXIS])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, opt_state)

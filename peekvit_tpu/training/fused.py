@@ -180,7 +180,8 @@ def residualvit_forward_trainable(params, images, budget_vec, *,
                                   budget_token="learnable",
                                   compute_dtype=jnp.bfloat16,
                                   interpret: bool = False,
-                                  save_qkv: bool = True):
+                                  save_qkv: bool = True,
+                                  pmean_axis: Optional[str] = None):
     """Differentiable fused ResidualViT forward (sigmoid gates,
     'attention+mlp' skip). Returns (logits, aux) with aux['masks'] and
     aux['current_budget'] so LossCompose regularizers apply unchanged.
@@ -231,7 +232,12 @@ def residualvit_forward_trainable(params, images, budget_vec, *,
                     jnp.float32) + bg["bias"].astype(jnp.float32))
             mask = jax.nn.relu(sig - thr)
         else:
+            # whole-BATCH mean: under a data-sharded shard_map (dp-fused
+            # training) the local mean must span the mesh, exactly like
+            # the serving engine's pmean (inference.py dp path)
             cur_b = jnp.mean(tokens[:, -1:].astype(jnp.float32))
+            if pmean_axis is not None:
+                cur_b = jax.lax.pmean(cur_b, pmean_axis)
             mask = jax.nn.relu(sig - (1.0 - cur_b))
         masks[f"layer_{i}"] = mask
         mask_c = mask.astype(compute_dtype)

@@ -95,6 +95,13 @@ class Trainer:
     # (fused/pipeline/SP/linen) because they all route through tx.update;
     # grad clipping sees the AVERAGED gradient, matching a true big batch.
     grad_accumulation: int = 1
+    # ZeRO-1: shard the optimizer state (adam m/v, MultiSteps accumulators)
+    # over the mesh's data axis instead of replicating it — each chip
+    # holds 1/n_data of the state and updates only its shard; XLA derives
+    # the update-shard + all-gather schedule from the shardings alone.
+    # Requires mesh=; composes with the dp linen AND dp-fused steps (the
+    # optimizer update runs outside the fused shard_map).
+    zero_sharded_optimizer: bool = False
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -118,13 +125,26 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self.output_format = getattr(self.model.module, "output_format", None)
+        self._opt_shardings = None
         if self.mesh is not None:
-            from peekvit_tpu.parallel import shard_params, replicated_sharding
+            from peekvit_tpu.parallel import (replicated_sharding,
+                                              shard_params,
+                                              zero1_optimizer_sharding)
 
             self.model.params = shard_params(self.model.params, self.mesh)
-            self.opt_state = jax.device_put(
-                self.opt_state, replicated_sharding(self.mesh)
-            )
+            if self.zero_sharded_optimizer:
+                self._opt_shardings = zero1_optimizer_sharding(
+                    self.opt_state, self.mesh)
+                self.opt_state = jax.device_put(
+                    self.opt_state, self._opt_shardings)
+            else:
+                self.opt_state = jax.device_put(
+                    self.opt_state, replicated_sharding(self.mesh)
+                )
+        elif self.zero_sharded_optimizer:
+            raise ValueError(
+                "zero_sharded_optimizer requires mesh= (the optimizer "
+                "state shards over the mesh's data axis)")
 
     # ------------------------------------------------------------ train step
 
@@ -181,6 +201,7 @@ class Trainer:
         tx = self.tx
         recon_w = self.reconstruction_weight
         ee_w = self.ee_weights
+        opt_shardings = self._opt_shardings
 
         def loss_fn(params, x, y, budget, noise_value, rngs):
             out, aux = apply_fn(params, x, budget, noise_value, rngs, train=True)
@@ -223,6 +244,9 @@ class Trainer:
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if opt_shardings is not None:  # pin the ZeRO-1 layout step-over-step
+                opt_state = jax.tree.map(jax.lax.with_sharding_constraint,
+                                         opt_state, opt_shardings)
             return params, opt_state, metrics
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -506,7 +530,16 @@ class Trainer:
 
     def _build_fused_train_step(self):
         """Pallas fused-attention train step (training/fused.py): plain-ViT
-        and gated-ResidualViT variants, same signature/metrics as linen."""
+        and gated-ResidualViT variants, same signature/metrics as linen.
+
+        With a multi-device ``mesh`` the forward runs under a shard_map
+        over the data axis (Pallas calls are not GSPMD-partitionable, so
+        dp must be explicit — same layout as the serving engine): batch
+        sharded, params replicated in, and the gradient all-reduce over
+        data falls out of the shard_map TRANSPOSE. The loss/optimizer
+        stay outside the shard_map, so metrics, LossCompose regularizers
+        (incl. batch-global terms) and ZeRO-1 optimizer sharding are
+        exactly the single-device math."""
         import functools
 
         module = self.model.module
@@ -514,6 +547,30 @@ class Trainer:
         tx = self.tx
         interpret = jax.default_backend() != "tpu"
         kind = self._fused_kind()
+        opt_shardings = self._opt_shardings
+
+        dp = 0
+        if self.mesh is not None:
+            from peekvit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            if (MODEL_AXIS in self.mesh.axis_names
+                    and self.mesh.shape[MODEL_AXIS] > 1):
+                raise NotImplementedError(
+                    "the fused train path shards over 'data' only; for a "
+                    "'model' axis use sequence_parallel_devices/"
+                    "pipeline_stages or fused='never'")
+            if DATA_AXIS in self.mesh.axis_names:
+                dp = self.mesh.shape[DATA_AXIS]
+
+        def _dp_shard_map(fn, n_batch_args):
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from peekvit_tpu.parallel.mesh import DATA_AXIS
+            specs = (P(),) + (P(DATA_AXIS),) * n_batch_args
+            # check_rep/vma off: Pallas calls carry no replication/vma
+            # metadata (same as the serving engine / SP / pipeline wraps)
+            return shard_map(fn, mesh=self.mesh, in_specs=specs,
+                             out_specs=P(DATA_AXIS), check_rep=False)
 
         if kind == "residual":
             from peekvit_tpu.training.fused import (
@@ -534,6 +591,10 @@ class Trainer:
                 budget_token=module.add_budget_token,
                 interpret=interpret,
             )
+            if dp > 1:
+                from peekvit_tpu.parallel.mesh import DATA_AXIS
+                fwd = _dp_shard_map(
+                    functools.partial(fwd, pmean_axis=DATA_AXIS), 2)
 
             def step(params, opt_state, x, y, budget, noise_value, step_idx):
                 if budget is None:  # per-sample sampling (train_budget off)
@@ -558,6 +619,10 @@ class Trainer:
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
                 updates, opt_state2 = tx.update(grads, opt_state, params)
+                if opt_shardings is not None:
+                    opt_state2 = jax.tree.map(
+                        jax.lax.with_sharding_constraint, opt_state2,
+                        opt_shardings)
                 return (optax.apply_updates(params, updates), opt_state2,
                         metrics)
 
@@ -575,6 +640,8 @@ class Trainer:
             ln_eps=getattr(module, "ln_eps", 1e-5),
             interpret=interpret,
         )
+        if dp > 1:
+            fwd = _dp_shard_map(fwd, 1)
 
         def step(params, opt_state, x, y, budget, noise_value, step_idx):
             def loss_fn(p):
@@ -586,6 +653,9 @@ class Trainer:
                 params
             )
             updates, opt_state2 = tx.update(grads, opt_state, params)
+            if opt_shardings is not None:
+                opt_state2 = jax.tree.map(jax.lax.with_sharding_constraint,
+                                          opt_state2, opt_shardings)
             return optax.apply_updates(params, updates), opt_state2, metrics
 
         return jax.jit(step, donate_argnums=(0, 1))

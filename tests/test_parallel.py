@@ -785,3 +785,130 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     flat_out, _ = jax.tree_util.tree_flatten(resharded.params)
     for a, b in zip(flat_in, flat_out):
         assert b.sharding.is_equivalent_to(a.sharding, a.ndim)
+
+
+def _opt_sharded_fraction(tree):
+    leaves = [l for l in jax.tree.leaves(tree) if getattr(l, "ndim", 0) >= 1]
+    tot = sum(l.size for l in leaves)
+    sh = sum(l.size for l in leaves if DATA_AXIS in str(l.sharding.spec))
+    return sh / tot
+
+
+def test_dp_fused_train_step_matches_single_device_with_zero1():
+    """dp-FUSED training: the Pallas fused train path runs under an
+    explicit data-axis shard_map (Pallas is not GSPMD-partitionable), with
+    the gradient all-reduce falling out of the shard_map transpose and the
+    loss/optimizer outside on global math — params match the single-device
+    fused step (SGD: exact up to all-reduce association; adam's
+    first-step g/sqrt(g^2) amplifies that association delta for
+    near-zero grads, see test_zero1_linen_dp_matches_replicated)."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data()
+    t_single = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=True)
+    mesh = make_mesh(n_data=8, n_model=1)
+    t_dp = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=True,
+                   mesh=mesh, zero_sharded_optimizer=True)
+    assert t_dp._fused_kind() == "vit"
+
+    xd, yd = shard_batch(x, mesh), shard_batch(y, mesh)
+    m_s = t_single.train_step(x, y, step_idx=0)
+    m_d = t_dp.train_step(xd, yd, step_idx=0)
+    # step 0 compares the pristine forwards: exact through the shard_map
+    np.testing.assert_allclose(float(m_d["total_loss"]),
+                               float(m_s["total_loss"]), rtol=1e-6)
+    m_s = t_single.train_step(x, y, step_idx=1)
+    m_d = t_dp.train_step(xd, yd, step_idx=1)
+    # after an update the bf16 backward's batch-shape-dependent rounding
+    # (weight-grad contractions over B*N=80 vs 10+psum rows) shows up at
+    # the ~1e-4 level; a WRONG all-reduce (e.g. sum instead of mean)
+    # would be off by 8x
+    np.testing.assert_allclose(float(m_d["total_loss"]),
+                               float(m_s["total_loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_dp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_dp_fused_residualvit_matches_single_device():
+    """Gated ResidualViT dp-fused training (sampled per-sample budgets +
+    MSE regularizer): budgets are drawn OUTSIDE the shard_map over the
+    global batch, so the dp step reproduces the single-device fused step
+    exactly (same PRNG stream, same batch-global regularizer math)."""
+    from peekvit_tpu.utils.losses import LossCompose
+
+    def mk():
+        return build_model(
+            "residualvit",
+            dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+                 hidden_dim=32, mlp_dim=64, num_classes=5,
+                 residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+                 add_budget_token="learnable"),
+            seed=9,
+        )
+
+    def compose():
+        return LossCompose(
+            {"mse": {"_target_": "peekvit.utils.losses.MSELoss",
+                     "budget": None, "strict": False, "weight": 0.01}})
+
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data()
+    y = y % 5
+    t_single = Trainer(model=mk(), optimizer=SGD(lr=0.05), fused=True,
+                       loss_compose=compose())
+    assert t_single._fused_kind() == "residual"
+    mesh = make_mesh(n_data=8, n_model=1)
+    t_dp = Trainer(model=mk(), optimizer=SGD(lr=0.05), fused=True,
+                   mesh=mesh, loss_compose=compose())
+    xd, yd = shard_batch(x, mesh), shard_batch(y, mesh)
+    m_s = t_single.train_step(x, y, step_idx=0)
+    m_d = t_dp.train_step(xd, yd, step_idx=0)
+    np.testing.assert_allclose(float(m_d["total_loss"]),
+                               float(m_s["total_loss"]), rtol=1e-6)
+    m_s = t_single.train_step(x, y, step_idx=1)
+    m_d = t_dp.train_step(xd, yd, step_idx=1)
+    np.testing.assert_allclose(float(m_d["total_loss"]),
+                               float(m_s["total_loss"]), rtol=1e-3)
+    assert "mse" in m_d
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_dp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_zero1_linen_dp_matches_replicated():
+    """ZeRO-1 on the linen dp step: sharding the optimizer state over the
+    data axis changes layout, not results; without a mesh the knob is a
+    clear error. SGD makes the parity exact — adam's first-step
+    g/sqrt(g^2) update amplifies the fp-reassociation delta between the
+    replicated all-reduce and the ZeRO reduce-scatter programs for
+    near-zero gradient elements (layout-induced, optimizer-inherent)."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data()
+    mesh = make_mesh(n_data=8, n_model=1)
+    t_rep = Trainer(model=_model(), optimizer=SGD(lr=0.05), mesh=mesh,
+                    fused=False)
+    t_z = Trainer(model=_model(), optimizer=SGD(lr=0.05), mesh=mesh,
+                  fused=False, zero_sharded_optimizer=True)
+    xd, yd = shard_batch(x, mesh), shard_batch(y, mesh)
+    for i in range(2):
+        t_rep.train_step(xd, yd, step_idx=i)
+        t_z.train_step(xd, yd, step_idx=i)
+    for a, b in zip(jax.tree.leaves(t_rep.model.params),
+                    jax.tree.leaves(t_z.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    # adam has the param-shaped moments ZeRO exists for: layout sharded at
+    # init and still sharded after a linen dp step
+    t_a = Trainer(model=_model(), optimizer=Adam(lr=1e-2), mesh=mesh,
+                  fused=False, zero_sharded_optimizer=True)
+    assert _opt_sharded_fraction(t_a.opt_state) > 0.9
+    t_a.train_step(xd, yd, step_idx=0)
+    assert _opt_sharded_fraction(t_a.opt_state) > 0.9
+
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(model=_model(), optimizer=Adam(lr=1e-2),
+                zero_sharded_optimizer=True)

@@ -156,6 +156,8 @@ def train(cfg) -> dict:
         sequence_parallel_devices=sp_devices,
         parallel_kernels=tr.get("parallel_kernels", "auto"),
         grad_accumulation=int(tr.get("grad_accumulation") or 1),
+        zero_sharded_optimizer=bool(tr.get("zero_sharded_optimizer"))
+        and mesh is not None,
     )
 
     train_budget = tr.get("train_budget")
