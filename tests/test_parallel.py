@@ -912,3 +912,25 @@ def test_zero1_linen_dp_matches_replicated():
     with pytest.raises(ValueError, match="mesh"):
         Trainer(model=_model(), optimizer=Adam(lr=1e-2),
                 zero_sharded_optimizer=True)
+
+
+def test_sp_grad_accumulation_matches_big_batch():
+    """grad_accumulation composes with the SP step builder (MultiSteps
+    wraps tx before any builder captures it): two accumulated SP
+    microbatches == one SP step on the concatenated batch."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+
+    def run(ga, batches):
+        t = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=False,
+                    sequence_parallel_devices=8, grad_accumulation=ga)
+        for i, (bx, by) in enumerate(batches):
+            t.train_step(bx, by, step_idx=0)  # same rng: CE grads average
+        return t.model.params
+
+    p_big = run(1, [(x, y)])
+    p_acc = run(2, [(x[:4], y[:4]), (x[4:], y[4:])])
+    for a, b in zip(jax.tree.leaves(p_big), jax.tree.leaves(p_acc)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
