@@ -1,0 +1,232 @@
+"""Deployable serving bundles for compiled inference engines.
+
+A bundle packages, into one directory:
+
+1. the engine's traced computation as serialized StableHLO
+   (``jax.export`` — a version-stable format loadable WITHOUT the model
+   zoo, config system, or any model-building code on the serving host),
+2. the PREPARED parameter tree exactly as the engine computed it at
+   build time (bf16-cast, (1, k) pre-shaped vectors, LN affines folded,
+   one-call weight stacks, int8 weights + scales — see
+   ``inference.prepare_engine_params``), stored as raw bytes in an npz
+   with dtypes/shapes in the metadata (numpy cannot natively round-trip
+   bfloat16), and
+3. ``meta.json`` describing the call signature (batch geometry, budget
+   mode, export platform, format version).
+
+The PyTorch reference has no counterpart — it serves from the live
+module inside the eval loop (``/root/reference/validate/test.py:113-124``).
+This is the TPU-native deployment story: the artifact leaves the
+training repo and is servable with jax + numpy alone.
+
+What the bundle does and does not remove: StableHLO is the portable
+layer, so XLA still compiles it once per serving process (enable jax's
+persistent compilation cache on the host to make that a disk hit across
+restarts). What it removes is model construction, parameter preparation
+(quantization / calibration / folding / stacking), and tracing — none
+of which need to exist on the serving host.
+
+Shapes are static (the engines are static-shape by design — Mosaic
+kernels bake the batch geometry), so one bundle serves one batch size;
+export one bundle per served bucket. A reloaded bundle is a fresh XLA
+compilation of the serialized StableHLO: on TPU with bf16 engines its
+logits can differ from the live engine at bf16 rounding scale (XLA may
+pick different fusion/layout choices for the same program — measured
+~0.03 absolute on ViT-B-width logits); the artifact itself is
+deterministic across loads, and fp32 interpret-mode bundles round-trip
+bitwise (tests/test_serving.py asserts exact equality there). The single-compile padded RankViT
+engine (``max_budget=``) is the recommended mode for a budget knob in
+serving: its budget is a traced scalar, so ONE bundle serves every
+budget below the cap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+_ENGINE_FILE = "engine.stablehlo"
+_PARAMS_FILE = "params.npz"
+_META_FILE = "meta.json"
+
+
+def _flatten(tree, prefix=""):
+    """Nested-dict pytree -> {'a/b/c': leaf}. Engine param trees are pure
+    string-keyed dicts (prepare_engine_params builds them that way)."""
+    out = {}
+    for k, v in tree.items():
+        if not isinstance(k, str):
+            raise TypeError(f"non-string param key {k!r} is not servable")
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_serving_bundle(engine, path: str, sample_images,
+                        budget: Optional[float] = None) -> str:
+    """Export ``engine`` (an ``inference.InferenceEngine``) called on
+    ``sample_images``-shaped batches into a bundle directory at ``path``.
+
+    ``budget`` is REQUIRED for an exact-drop RankViT engine (each budget
+    is its own compiled geometry — one bundle per budget) and OPTIONAL
+    for padded (``max_budget=``) and ResidualViT engines, whose budget
+    is a traced scalar baked into one artifact.
+    """
+    if getattr(engine, "_mesh", None) is not None:
+        raise NotImplementedError(
+            "serving bundles are single-device artifacts; export the "
+            "engine without mesh= and shard at the serving layer")
+    if getattr(engine, "_noise", None) is not None:
+        raise NotImplementedError(
+            "noise-sweep engines are an evaluation tool; build the "
+            "engine from a model without noise_args to export it")
+
+    x = jnp.asarray(sample_images)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "platform": jax.default_backend(),
+        "image_shape": list(x.shape),
+        "image_dtype": str(x.dtype),
+        "budget_mode": "none",
+    }
+    if getattr(engine, "_residual", False):
+        fn = engine._fn
+        extras = (jnp.float32(1.0 if budget is None else budget),)
+        meta["budget_mode"] = "traced"
+        meta["max_budget"] = 1.0
+    elif getattr(engine, "_rank_layers", ()):
+        if getattr(engine, "_rank_max_budget", None) is not None:
+            fn = engine._fn
+            extras = (jnp.float32(engine._rank_max_budget
+                                  if budget is None else budget),)
+            meta["budget_mode"] = "traced"
+            meta["max_budget"] = float(engine._rank_max_budget)
+        else:
+            if budget is None:
+                raise ValueError(
+                    "an exact-drop RankViT engine compiles one geometry "
+                    "per budget; pass budget= to export (or build the "
+                    "engine with max_budget= for a single traced-budget "
+                    "bundle)")
+            # build (or reuse) the per-budget jitted fn the engine itself
+            # would dispatch to, without running it
+            b = float(budget)
+            if b not in engine._rank_fns:
+                import functools
+
+                from peekvit_tpu.inference import rankvit_forward_fused
+
+                fwd = getattr(engine, "_rank_fwd", rankvit_forward_fused)
+                engine._rank_fns[b] = engine._jit_noise(
+                    functools.partial(fwd, budget=b, **engine._rank_common))
+            fn = engine._rank_fns[b]
+            extras = ()
+            meta["budget_mode"] = "static"
+            meta["budget"] = b
+    else:
+        fn = engine._fn
+        extras = ()
+
+    exported = jax.export.export(fn)(engine.params, x, *extras)
+    blob = exported.serialize()
+
+    flat = _flatten(engine.params)
+    raw = {k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()}
+    meta["params"] = {
+        k: {"dtype": str(v.dtype), "shape": list(v.shape)}
+        for k, v in raw.items()
+    }
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _ENGINE_FILE), "wb") as f:
+        f.write(blob)
+    np.savez(os.path.join(path, _PARAMS_FILE),
+             **{k: v.view(np.uint8).reshape(-1) if v.dtype.name == "bfloat16"
+                else v for k, v in raw.items()})
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+class ServingEngine:
+    """A loaded bundle: ``engine(images[, budget=])`` like the live
+    ``InferenceEngine``, from the serialized artifact alone."""
+
+    def __init__(self, call, params, meta):
+        self._call = call
+        self.params = params
+        self.meta = meta
+
+    def __call__(self, images, budget: Optional[float] = None):
+        want = tuple(self.meta["image_shape"])
+        if tuple(images.shape) != want:
+            raise ValueError(
+                f"bundle was exported for image batches of shape {want}, "
+                f"got {tuple(images.shape)} — export one bundle per "
+                "served batch size (engine shapes are static)")
+        mode = self.meta["budget_mode"]
+        if mode == "none":
+            if budget is not None:
+                raise ValueError("bundle has no budget knob")
+            return self._call(self.params, jnp.asarray(images))
+        if mode == "static":
+            if budget is not None and float(budget) != self.meta["budget"]:
+                raise ValueError(
+                    f"bundle was exported at static budget "
+                    f"{self.meta['budget']}; got {budget}")
+            return self._call(self.params, jnp.asarray(images))
+        b = 1.0 if budget is None else float(budget)
+        if b > self.meta["max_budget"] + 1e-9:
+            raise ValueError(
+                f"budget {b} exceeds the bundle's max_budget "
+                f"{self.meta['max_budget']}")
+        return self._call(self.params, jnp.asarray(images), jnp.float32(b))
+
+
+def load_serving_bundle(path: str) -> ServingEngine:
+    """Load a bundle saved by :func:`save_serving_bundle`. Needs jax +
+    numpy only — no model zoo, no config, no preparation code."""
+    import ml_dtypes  # jax dependency, provides the bfloat16 numpy dtype
+
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"bundle format {meta.get('format_version')} != "
+            f"{FORMAT_VERSION} (this library)")
+    if meta["platform"] != jax.default_backend():
+        raise ValueError(
+            f"bundle was exported for platform {meta['platform']!r}; this "
+            f"process runs {jax.default_backend()!r} (StableHLO lowers "
+            "platform-specifically — re-export on the serving platform)")
+    with open(os.path.join(path, _ENGINE_FILE), "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    npz = np.load(os.path.join(path, _PARAMS_FILE))
+    flat = {}
+    for key, spec in meta["params"].items():
+        arr = npz[key]
+        if spec["dtype"] == "bfloat16":
+            arr = arr.view(ml_dtypes.bfloat16).reshape(spec["shape"])
+        flat[key] = jnp.asarray(arr)
+    call = jax.jit(exported.call)
+    return ServingEngine(call, _unflatten(flat), meta)

@@ -1,0 +1,123 @@
+"""Serving bundles: export a compiled engine, reload it from the
+artifact alone, get the same logits (peekvit_tpu/serving.py; no
+reference counterpart — the torch reference serves from the live module,
+validate/test.py:113-124)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from peekvit_tpu.inference import InferenceEngine
+from peekvit_tpu.models.registry import build_model
+from peekvit_tpu.serving import load_serving_bundle, save_serving_bundle
+
+
+def _vit(kind="vit", extra=(), seed=3, **over):
+    spec = dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+                hidden_dim=64, mlp_dim=128, num_classes=7)
+    spec.update(over)
+    model = build_model(kind, spec, seed=seed)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    return model
+
+
+def _x(b=2, s=32, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(b, s, s, 3)), jnp.float32)
+
+
+def test_bundle_roundtrip_plain_vit(tmp_path):
+    model = _vit()
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    x = _x()
+    want = eng(x)
+    path = save_serving_bundle(eng, str(tmp_path / "b"), x)
+    srv = load_serving_bundle(path)
+    got = srv(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # artifact is self-contained: the three files exist
+    for f in ("engine.stablehlo", "params.npz", "meta.json"):
+        assert (tmp_path / "b" / f).exists()
+
+
+def test_bundle_roundtrip_quantized(tmp_path):
+    model = _vit(seed=5)
+    eng = InferenceEngine(model, quantized=True, interpret=True)
+    x = _x(seed=2)
+    want = eng(x)
+    path = save_serving_bundle(eng, str(tmp_path / "q"), x)
+    got = load_serving_bundle(path)(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bundle_rankvit_static_budget(tmp_path):
+    model = _vit("rankvit", rankvit_layers=[1], seed=7)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    x = _x(seed=3)
+    want = eng(x, budget=0.5)
+    with pytest.raises(ValueError, match="one geometry per budget"):
+        save_serving_bundle(eng, str(tmp_path / "r"), x)
+    path = save_serving_bundle(eng, str(tmp_path / "r"), x, budget=0.5)
+    srv = load_serving_bundle(path)
+    np.testing.assert_array_equal(np.asarray(srv(x, budget=0.5)),
+                                  np.asarray(want))
+    with pytest.raises(ValueError, match="static budget"):
+        srv(x, budget=0.25)
+
+
+def test_bundle_rankvit_padded_traced_budget(tmp_path):
+    """One max_budget= bundle serves every budget under the cap."""
+    model = _vit("rankvit", rankvit_layers=[1], seed=7)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          max_budget=0.75)
+    x = _x(seed=4)
+    path = save_serving_bundle(eng, str(tmp_path / "p"), x)
+    srv = load_serving_bundle(path)
+    for b in (0.75, 0.5, 0.25):
+        np.testing.assert_array_equal(np.asarray(srv(x, budget=b)),
+                                      np.asarray(eng(x, budget=b)))
+    with pytest.raises(ValueError, match="max_budget"):
+        srv(x, budget=0.9)
+
+
+def test_bundle_residualvit_traced_budget(tmp_path):
+    model = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        seed=11,
+    )
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    x = _x(seed=5)
+    path = save_serving_bundle(eng, str(tmp_path / "res"), x)
+    srv = load_serving_bundle(path)
+    for b in (1.0, 0.5):
+        np.testing.assert_array_equal(np.asarray(srv(x, budget=b)),
+                                      np.asarray(eng(x, budget=b)))
+
+
+def test_bundle_shape_and_mode_guards(tmp_path):
+    model = _vit()
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    x = _x()
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "g"),
+                                                  x))
+    with pytest.raises(ValueError, match="batch"):
+        srv(_x(b=3))
+    with pytest.raises(ValueError, match="budget knob"):
+        srv(x, budget=0.5)
+    # noise engines are eval tools, not servable artifacts
+    noisy = build_model(
+        "vit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7),
+        noise_args=dict(layer=1, noise_type="gaussian"), seed=3)
+    neng = InferenceEngine(noisy, compute_dtype=jnp.float32, interpret=True)
+    with pytest.raises(NotImplementedError, match="noise"):
+        save_serving_bundle(neng, str(tmp_path / "n"), x)
