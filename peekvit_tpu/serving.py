@@ -38,6 +38,15 @@ bitwise (tests/test_serving.py asserts exact equality there). The single-compile
 engine (``max_budget=``) is the recommended mode for a budget knob in
 serving: its budget is a traced scalar, so ONE bundle serves every
 budget below the cap.
+
+Every engined family exports: plain ViT (bf16 + int8), RankViT (exact
+drop: one bundle per budget; padded ``max_budget=``: one bundle, traced
+budget), ResidualViT / EncDec (traced budget; classification logits),
+EE-Residual (``ee_outputs=True`` exports the full (exits..., final)
+tuple), MoE (bf16 + int8), A-ViT, PCT, and RankPCT (exact drop, one
+bundle per budget — its ``sample_images`` are (B, N, 3) point clouds;
+the metadata's ``image_shape`` records whatever batch geometry the
+engine was traced at).
 """
 
 from __future__ import annotations
@@ -124,10 +133,10 @@ def save_serving_bundle(engine, path: str, sample_images,
         else:
             if budget is None:
                 raise ValueError(
-                    "an exact-drop RankViT engine compiles one geometry "
-                    "per budget; pass budget= to export (or build the "
-                    "engine with max_budget= for a single traced-budget "
-                    "bundle)")
+                    "an exact-drop ranking engine compiles one geometry "
+                    "per budget; pass budget= to export one bundle per "
+                    "served budget (RankViT engines can instead be built "
+                    "with max_budget= for a single traced-budget bundle)")
             # build (or reuse) the per-budget jitted fn the engine itself
             # would dispatch to, without running it
             b = float(budget)

@@ -102,6 +102,92 @@ def test_bundle_residualvit_traced_budget(tmp_path):
                                       np.asarray(eng(x, budget=b)))
 
 
+def test_bundle_moevit(tmp_path):
+    """MoE engines (bf16 and int8 param trees) export via the plain-fn
+    path — dense top-1 experts are baked into the traced program."""
+    spec = dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+                hidden_dim=64, mlp_dim=128, num_classes=7,
+                mlp_moes=[2, 1], attn_moes=[1, 2])
+    model = build_model("moevit", spec, seed=13)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    x = _x(seed=6)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "m"),
+                                                  x))
+    np.testing.assert_array_equal(np.asarray(srv(x)), np.asarray(eng(x)))
+    qeng = InferenceEngine(model, quantized=True, interpret=True)
+    qsrv = load_serving_bundle(
+        save_serving_bundle(qeng, str(tmp_path / "mq"), x))
+    np.testing.assert_array_equal(np.asarray(qsrv(x)), np.asarray(qeng(x)))
+
+
+def test_bundle_adavit(tmp_path):
+    """A-ViT: the scanned ACT halting algebra serializes (lax.scan +
+    masked merged blocks are ordinary StableHLO)."""
+    model = build_model(
+        "adavit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, gate_center=5.0),
+        seed=17)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    x = _x(seed=7)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "a"),
+                                                  x))
+    np.testing.assert_array_equal(np.asarray(srv(x)), np.asarray(eng(x)))
+
+
+def test_bundle_eeresidualvit_tuple_outputs(tmp_path):
+    """ee_outputs=True bundles return the full (exit_0.., final) tuple;
+    the budget stays a traced scalar in the artifact."""
+    model = build_model(
+        "eeresidualvit",
+        dict(image_size=32, patch_size=8, num_layers=3, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=7,
+             residual_layers=["attention+mlp"] * 3, gate_type="sigmoid",
+             add_budget_token=0.5),
+        seed=19)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          ee_outputs=True)
+    x = _x(seed=8)
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "ee"),
+                                                  x))
+    for b in (1.0, 0.6):
+        got, want = srv(x, budget=b), eng(x, budget=b)
+        assert len(got) == len(want) == 4
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_bundle_pct_and_rankpct(tmp_path):
+    """PCT bundles take (B, N, 3) point clouds; RankPCT's exact physical
+    drop exports one bundle per budget like exact-drop RankViT."""
+    args = dict(num_points=64, num_layers=2, num_heads=4, hidden_dim=64,
+                mlp_dim=128, num_classes=40)
+    pts = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 64, 3)), jnp.float32)
+
+    model = build_model("pct", args)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "p"),
+                                                  pts))
+    np.testing.assert_array_equal(np.asarray(srv(pts)), np.asarray(eng(pts)))
+
+    rmodel = build_model("rankpct", args)
+    rmodel.enable_ranking(True)
+    reng = InferenceEngine(rmodel, compute_dtype=jnp.float32, interpret=True)
+    with pytest.raises(ValueError, match="one geometry per budget"):
+        save_serving_bundle(reng, str(tmp_path / "r"), pts)
+    rsrv = load_serving_bundle(
+        save_serving_bundle(reng, str(tmp_path / "r"), pts, budget=0.5))
+    np.testing.assert_array_equal(np.asarray(rsrv(pts, budget=0.5)),
+                                  np.asarray(reng(pts, budget=0.5)))
+
+
 def test_bundle_shape_and_mode_guards(tmp_path):
     model = _vit()
     eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
