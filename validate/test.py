@@ -225,6 +225,35 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                 model, flops_batch, budget=b
             )
 
+    # optional deployment export (test.export_bundle=DIR): package the
+    # engine the sweep just validated into standalone serving bundles
+    # (peekvit_tpu/serving.py; no reference counterpart — the torch
+    # reference serves from the live module, reference test.py:113-124)
+    bundle_dir = tcfg.get("export_bundle")
+    if bundle_dir:
+        if engine is None:
+            print("export_bundle: no fused engine for this model/mode; "
+                  "nothing exported", flush=True)
+        else:
+            from peekvit_tpu.serving import save_serving_bundle
+
+            try:
+                if (getattr(engine, "_rank_fns", None) is not None
+                        and getattr(engine, "_rank_max_budget", None)
+                        is None):
+                    # exact-drop ranking engines compile one geometry per
+                    # budget: one bundle per swept budget
+                    for b in budgets:
+                        p = save_serving_bundle(
+                            engine, os.path.join(bundle_dir, f"budget_{b}"),
+                            flops_batch, budget=b)
+                        print(f"exported serving bundle: {p}", flush=True)
+                else:
+                    p = save_serving_bundle(engine, bundle_dir, flops_batch)
+                    print(f"exported serving bundle: {p}", flush=True)
+            except NotImplementedError as e:
+                print(f"export_bundle: not exportable ({e})", flush=True)
+
     summary = {
         "results_per_budget": results_per_budget,
         "flops": flops_per_budget,
