@@ -148,6 +148,38 @@ def main():
         return jnp.sum(fn(params, xx + carry * 0))
 
     emit("adavit", measure(step_ada, (enga.params, x)))
+
+    # MAE: logits-only engine + the full (logits, recon) decoder path
+    # (MAE-B/16 decoder: 8 layers, 512 wide, 16 heads — the paper's
+    # default decoder shape)
+    mae = bf16(build_model("maevit", dict(
+        B16, mask_ratio=0.75, decoder_hidden_dim=512, decoder_mlp_dim=2048,
+        num_decoder_layers=8, num_decoder_heads=16)))
+    engm = InferenceEngine(mae)
+
+    def step_mae(params, xx, carry, fn=engm._fn):
+        return jnp.sum(fn(params, xx + carry * 0))
+
+    emit("maevit", measure(step_mae, (engm.params, x)))
+    engmr = InferenceEngine(mae, recon_outputs=True)
+
+    def step_maer(params, xx, carry, fn=engmr._fn):
+        lg, rec = fn(params, xx + carry * 0)
+        return jnp.sum(lg) + jnp.sum(rec[:, 0, 0, 0])
+
+    emit("maevit+recon", measure(step_maer, (engmr.params, x)))
+
+    # EncDec with the decoder ON the engine path (recon_outputs=True)
+    med = bf16(build_model("encdecresidualvit", dict(
+        B16, residual_layers=["attention+mlp"] * 12, gate_type="sigmoid",
+        add_budget_token=0.5, decoder_num_layers=4)))
+    engd = InferenceEngine(med, recon_outputs=True)
+
+    def step_encdec(params, xx, carry, fn=engd._fn):
+        lg, rec, _ = fn(params, xx + carry * 0, jnp.float32(0.5))
+        return jnp.sum(lg) + jnp.sum(rec[:, 0, 0, 0])
+
+    emit("encdecresidualvit+recon", measure(step_encdec, (engd.params, x)))
     save()
 
 

@@ -40,6 +40,18 @@ def _patchify(x: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, (h // p) * (w // p), p * p * c)
 
 
+def _unpatchify_cmajor(rec: jax.Array, patch_size: int) -> jax.Array:
+    """(B, h*w, 3*p*p) channel-major patch rows -> NHWC image: the inverse
+    of the reference decoders' einops map 'b (h w) (c p1 p2) ->
+    b (h p1) (w p2) c' (vitdecoder.py:90-92, maevit.py rearrange)."""
+    b, n, _ = rec.shape
+    p = patch_size
+    h = int(round(n ** 0.5))
+    rec = rec.reshape(b, h, h, 3, p, p)
+    rec = rec.transpose(0, 1, 4, 2, 5, 3)
+    return rec.reshape(b, h * p, h * p, 3)
+
+
 def _layer_norm(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -166,57 +178,87 @@ def prepare_engine_params(params, compute_dtype=None, fold_ln: bool = False):
         )
 
         cdt = compute_dtype or jnp.float32
-        for key, sp in params["encoder"].items():
-            if not key.startswith("layers_") or "ln_1" not in sp:
+        # plain pre-LN block stacks: the main encoder, plus the MAE
+        # decoder (decoder_blocks is the same MAEViTEncoder structure —
+        # models/maevit.py, reference maevit.py:278-325)
+        for sub in ("encoder", "decoder_blocks"):
+            if sub not in params:
                 continue
-            if "self_attention" not in sp or "mlp" not in sp:
-                continue  # quantized tree: only the embed fold applies
-            at, mlp = sp["self_attention"], sp["mlp"]
-            if "experts_1" in at or "experts_1" in mlp:
-                continue  # multi-expert MoE sublayers don't take this path
-            a = at.get("experts_0", at)
-            m = mlp.get("experts_0", mlp)
-            if "in_proj_kernel" not in a or "fc1_kernel" not in m:
-                continue
-            wq, bq = fold_ln_into_weights(
-                sp["ln_1"]["scale"], sp["ln_1"]["bias"],
-                a["in_proj_kernel"], a["in_proj_bias"])
-            w1, b1 = fold_ln_into_weights(
-                sp["ln_2"]["scale"], sp["ln_2"]["bias"],
-                m["fc1_kernel"], m["fc1_bias"])
-            out["encoder"][key]["_folded_qkv"] = {
-                "kernel": wq.astype(cdt), "bias": bq.astype(cdt)}
-            out["encoder"][key]["_folded_fc1"] = {
-                "kernel": w1.astype(cdt), "bias": b1.astype(cdt)}
-        # stack the folded layers for the one-dispatch encoder
-        # (encoder_layers_one_call): every layer folded + uniform shapes
-        # + plain (non-expert) sublayers only
-        ids = _layer_ids(params["encoder"])
-        folded = [out["encoder"].get(f"layers_{i}", {}) for i in ids]
-        if ids and all(
-                "_folded_qkv" in fp
-                and "out_proj_kernel" in fp.get("self_attention", {})
-                and "fc2_kernel" in fp.get("mlp", {})
-                for fp in folded):
-            shapes = {fp["_folded_qkv"]["kernel"].shape for fp in folded} | {
-                fp["_folded_fc1"]["kernel"].shape for fp in folded}
-            if len(shapes) == 2:  # one qkv shape + one fc1 shape
-                stk = lambda leaves: jnp.stack(list(leaves))  # noqa: E731
-                out["encoder"]["_stacked_layers"] = {
-                    "wqkv": stk(fp["_folded_qkv"]["kernel"] for fp in folded),
-                    "bqkv": stk(fp["_folded_qkv"]["bias"] for fp in folded),
-                    "wo": stk(out["encoder"][f"layers_{i}"]["self_attention"]
-                              ["out_proj_kernel"] for i in ids),
-                    "bo": stk(out["encoder"][f"layers_{i}"]["self_attention"]
-                              ["out_proj_bias"] for i in ids),
-                    "w1": stk(fp["_folded_fc1"]["kernel"] for fp in folded),
-                    "b1": stk(fp["_folded_fc1"]["bias"] for fp in folded),
-                    "w2": stk(out["encoder"][f"layers_{i}"]["mlp"]
-                              ["fc2_kernel"] for i in ids),
-                    "b2": stk(out["encoder"][f"layers_{i}"]["mlp"]
-                              ["fc2_bias"] for i in ids),
-                }
-        if "class_tokens" in params and "conv_proj" in params:
+            for key, sp in params[sub].items():
+                if not key.startswith("layers_") or "ln_1" not in sp:
+                    continue
+                if "self_attention" not in sp or "mlp" not in sp:
+                    continue  # quantized tree: only the embed fold applies
+                at, mlp = sp["self_attention"], sp["mlp"]
+                if "experts_1" in at or "experts_1" in mlp:
+                    continue  # multi-expert MoE sublayers skip this path
+                a = at.get("experts_0", at)
+                m = mlp.get("experts_0", mlp)
+                if "in_proj_kernel" not in a or "fc1_kernel" not in m:
+                    continue
+                wq, bq = fold_ln_into_weights(
+                    sp["ln_1"]["scale"], sp["ln_1"]["bias"],
+                    a["in_proj_kernel"], a["in_proj_bias"])
+                w1, b1 = fold_ln_into_weights(
+                    sp["ln_2"]["scale"], sp["ln_2"]["bias"],
+                    m["fc1_kernel"], m["fc1_bias"])
+                out[sub][key]["_folded_qkv"] = {
+                    "kernel": wq.astype(cdt), "bias": bq.astype(cdt)}
+                out[sub][key]["_folded_fc1"] = {
+                    "kernel": w1.astype(cdt), "bias": b1.astype(cdt)}
+            # stack the folded layers for the one-dispatch encoder
+            # (encoder_layers_one_call): every layer folded + uniform
+            # shapes + plain (non-expert) sublayers only
+            ids = _layer_ids(params[sub])
+            folded = [out[sub].get(f"layers_{i}", {}) for i in ids]
+            if ids and all(
+                    "_folded_qkv" in fp
+                    and "out_proj_kernel" in fp.get("self_attention", {})
+                    and "fc2_kernel" in fp.get("mlp", {})
+                    for fp in folded):
+                shapes = {fp["_folded_qkv"]["kernel"].shape
+                          for fp in folded} | {
+                    fp["_folded_fc1"]["kernel"].shape for fp in folded}
+                if len(shapes) == 2:  # one qkv shape + one fc1 shape
+                    stk = lambda lv: jnp.stack(list(lv))  # noqa: E731
+                    out[sub]["_stacked_layers"] = {
+                        "wqkv": stk(fp["_folded_qkv"]["kernel"]
+                                    for fp in folded),
+                        "bqkv": stk(fp["_folded_qkv"]["bias"]
+                                    for fp in folded),
+                        "wo": stk(out[sub][f"layers_{i}"]["self_attention"]
+                                  ["out_proj_kernel"] for i in ids),
+                        "bo": stk(out[sub][f"layers_{i}"]["self_attention"]
+                                  ["out_proj_bias"] for i in ids),
+                        "w1": stk(fp["_folded_fc1"]["kernel"]
+                                  for fp in folded),
+                        "b1": stk(fp["_folded_fc1"]["bias"]
+                                  for fp in folded),
+                        "w2": stk(out[sub][f"layers_{i}"]["mlp"]
+                                  ["fc2_kernel"] for i in ids),
+                        "b2": stk(out[sub][f"layers_{i}"]["mlp"]
+                                  ["fc2_bias"] for i in ids),
+                    }
+        if ("class_tokens" in params and "conv_proj" in params
+                and "pos_embedding" in params):
+            # MAE embed fold (models/maevit.py): pos_embedding lives at
+            # the TOP level and covers PATCHES ONLY (added before the
+            # class/register concat, reference maevit.py:221); the
+            # special tokens take no pos. Same two-constant layout as the
+            # ViT fold below so _embed_posfolded serves both.
+            d = params["conv_proj"]["kernel"].shape[-1]
+            pos = jnp.asarray(params["pos_embedding"], jnp.float32)
+            spec = [jnp.reshape(jnp.asarray(params["class_tokens"],
+                                            jnp.float32), (1, -1, d))]
+            if "register_tokens" in params:
+                spec.append(jnp.reshape(
+                    jnp.asarray(params["register_tokens"], jnp.float32),
+                    (1, -1, d)))
+            bias = jnp.asarray(params["conv_proj"]["bias"],
+                               jnp.float32).reshape(1, 1, d)
+            out["_embed_special"] = jnp.concatenate(spec, axis=1).astype(cdt)
+            out["_embed_img_bias"] = (bias + pos).astype(cdt)
+        elif "class_tokens" in params and "conv_proj" in params:
             # embed fold: [class|register] tokens and the conv bias each
             # absorb their slice of pos_embedding, so the embed runs as
             # matmul + one fused epilogue add + concat — no separate
@@ -398,6 +440,73 @@ def _encoder_stack(enc, tokens, num_heads, ln_eps, cast, interpret,
                                + cast(lp["mlp"]["fc2_bias"]))
 
     return tokens
+
+
+def maevit_forward_fused(params, images, *, patch_size: int, num_heads: int,
+                         num_decoder_heads: int, num_class_tokens: int = 1,
+                         num_registers: int = 0, ln_eps: float = 1e-5,
+                         compute_dtype=jnp.bfloat16, interpret: bool = False,
+                         recon: bool = False):
+    """Eval forward of an MAE ViT (models/maevit.py; reference
+    maevit.py:328-390) on the fused kernel stack.
+
+    The reference shuffles-and-drops tokens ONLY in training
+    (maevit.py:221): the eval forward runs the FULL patch sequence
+    through encoder and decoder, so both stacks ride the merged
+    per-layer kernels / one-dispatch encoder unchanged
+    (:func:`_encoder_stack` — the decoder_blocks subtree is structurally
+    a second plain pre-LN stack). Layout quirks vs plain ViT, preserved
+    bit-for-bit: pos-embedding covers PATCHES ONLY and is added before
+    the [cls, registers, patches] concat; the final encoder LN feeds the
+    head AND the decoder, so it runs over all tokens (no cls-slice-first
+    shortcut); the decoder re-embeds when hidden dims differ, adds its
+    own pos, and maps each token to a channel-major (c, p, p) patch.
+
+    Returns fp32 logits, or ``(logits, reconstruction NHWC)`` when
+    ``recon=True`` (the model's ``logits_recon`` output contract).
+    """
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    if "_embed_special" in params:
+        tokens, d = _embed_posfolded(params, images, patch_size, cast)
+    else:
+        x = cast(images)
+        wconv = cast(params["conv_proj"]["kernel"])
+        d = wconv.shape[-1]
+        img_t = (_patchify(x, patch_size) @ wconv.reshape(-1, d)
+                 + cast(params["conv_proj"]["bias"])
+                 + cast(params["pos_embedding"]))
+        b = img_t.shape[0]
+        pieces = [jnp.broadcast_to(
+            cast(params["class_tokens"]), (b, num_class_tokens, d))]
+        if num_registers:
+            pieces.append(jnp.broadcast_to(
+                cast(params["register_tokens"]), (b, num_registers, d)))
+        pieces.append(img_t)
+        tokens = jnp.concatenate(pieces, axis=1)
+
+    enc = params["encoder"]
+    tokens = _encoder_stack(enc, tokens, num_heads, ln_eps, cast, interpret)
+    # final LN over ALL tokens: it feeds both the head and the decoder
+    tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                         cast(enc["ln"]["bias"]), ln_eps)
+    cls = jnp.sum(tokens[:, :num_class_tokens], axis=1)
+    logits = (cls @ cast(params["head"]["kernel"])
+              + cast(params["head"]["bias"])).astype(jnp.float32)
+    if not recon:
+        return logits
+
+    dec = tokens[:, num_class_tokens + num_registers:]
+    if "decoder_embed" in params:
+        dec = (dec @ cast(params["decoder_embed"]["kernel"])
+               + cast(params["decoder_embed"]["bias"]))
+    dec = dec + cast(params["decoder_pos_embedding"])
+    db = params["decoder_blocks"]
+    dec = _encoder_stack(db, dec, num_decoder_heads, ln_eps, cast, interpret)
+    dec = _layer_norm(dec, cast(db["ln"]["scale"]),
+                      cast(db["ln"]["bias"]), ln_eps)
+    rec = (dec @ cast(params["decoder_head"]["kernel"])
+           + cast(params["decoder_head"]["bias"]))
+    return logits, _unpatchify_cmajor(rec, patch_size).astype(jnp.float32)
 
 
 def _bn_eval(x, pr, st, eps: float = 1e-5):
@@ -1855,6 +1964,8 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               interpret: bool = False,
                               pmean_axis: Optional[str] = None,
                               early_exits: bool = False,
+                              recon: bool = False,
+                              decoder_num_heads: Optional[int] = None,
                               noise_layer: Optional[int] = None,
                               noise_type: str = "gaussian", noise_value=None,
                               noise_rng=None):
@@ -1865,6 +1976,13 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     per-layer LN->Dense exit heads (eeresidualvit.py:75-76 semantics) run
     on the class tokens after every layer and the return value is the
     linen-shaped tuple ``(exit_0, ..., exit_{L-1}, final)``.
+
+    And the EncDec variant: with ``recon=True`` the ViT decoder
+    (models/vitdecoder.py; reference encdecresidualvit.py:329-339) runs on
+    the post-final-LN image tokens with the LAST block's gate mask —
+    mask-token substitution via ``sigmoid(mask*100)``, decoder pos-emb,
+    plain blocks on the fused stack, channel-major unpatchify — and the
+    return value is the linen-shaped ``(logits, recon NHWC, mask_img)``.
 
     ``budget`` is a traced scalar: the whole sweep shares one compilation.
     Per block: gate in XLA (a Dense(1) on img tokens + budget/threshold
@@ -1900,6 +2018,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     tokens = jnp.concatenate([tokens, btok], axis=1)
     s = c + num_registers  # special tokens at the front
     exits = []
+    last_mask = None
 
     for i in _layer_ids(enc):
         tokens = _inject_noise(tokens, i, noise_layer, noise_type,
@@ -1924,6 +2043,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             if pmean_axis is not None:  # WHOLE batch = across the dp mesh
                 cur_b = jax.lax.pmean(cur_b, pmean_axis)
             mask = jax.nn.relu(sig - (1.0 - cur_b))
+        last_mask = mask  # fp32 (B, N_img, 1): what linen's aux stores
         mask = mask.astype(compute_dtype)  # (B, N_img, 1)
 
         ones = jnp.ones((b, 1, 1), compute_dtype)
@@ -1950,6 +2070,36 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               cast(ln_p["bias"]), 1e-5)[:, 0]
             exits.append((cls @ cast(hd_p["kernel"])
                           + cast(hd_p["bias"])).astype(jnp.float32))
+
+    if recon:
+        # final LN over ALL tokens (the linen encoder's trailing LN,
+        # residualvit.py model :321): it feeds both the head and the
+        # decoder's image-token slice
+        tokens = _layer_norm(tokens, cast(enc["ln"]["scale"]),
+                             cast(enc["ln"]["bias"]), 1e-5)
+        cls = jnp.sum(tokens[:, :c], axis=1)
+        final = (cls @ cast(params["head"]["kernel"])
+                 + cast(params["head"]["bias"])).astype(jnp.float32)
+        dp = params["decoder"]
+        img_tokens = tokens[:, s:-1]  # strip specials + budget token
+        m = jax.nn.sigmoid(last_mask * 100.0).astype(compute_dtype)
+        dec = (img_tokens * m
+               + cast(dp["mask_token"]) * (1.0 - m)
+               + cast(dp["pos_embedding"]))
+        dh = num_heads if decoder_num_heads is None else decoder_num_heads
+        dec = _encoder_stack(dp["encoder"], dec, dh, 1e-5, cast, interpret)
+        dec = _layer_norm(dec, cast(dp["encoder"]["ln"]["scale"]),
+                          cast(dp["encoder"]["ln"]["bias"]), 1e-5)
+        rec = (dec @ cast(dp["head"]["kernel"]) + cast(dp["head"]["bias"]))
+        rec = _unpatchify_cmajor(rec, patch_size).astype(jnp.float32)
+        # mask upscaled to image resolution (1 channel, viz artifact)
+        p = patch_size
+        n_img = m.shape[1]
+        h = int(round(n_img ** 0.5))
+        mp = jnp.broadcast_to(m.astype(jnp.float32), (b, n_img, p * p))
+        mask_img = mp.reshape(b, h, h, p, p).transpose(0, 1, 3, 2, 4)
+        mask_img = mask_img.reshape(b, h * p, h * p)[..., None]
+        return final, rec, mask_img
 
     final = _classify(params, tokens, c, cast, ln_eps=1e-5)
     if early_exits:
@@ -2014,7 +2164,8 @@ class InferenceEngine:
                  max_budget: Optional[float] = None,
                  calib_images=None, calib_percentile: float = 99.9,
                  calib_static_caps: bool = False,
-                 mesh=None, ee_outputs: bool = False):
+                 mesh=None, ee_outputs: bool = False,
+                 recon_outputs: bool = False):
         module = model.module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -2026,6 +2177,12 @@ class InferenceEngine:
                 "EEResidualVisionTransformer":
             raise NotImplementedError(
                 "ee_outputs=True needs an EEResidualVisionTransformer")
+        if recon_outputs and type(module).__name__ not in (
+                "MAEVisionTransformer",
+                "ResidualVisionTransformerWithDecoder"):
+            raise NotImplementedError(
+                "recon_outputs=True needs a model with a reconstruction "
+                "decoder (MAE or EncDec-Residual)")
         if (quantized and max_budget is not None
                 and not getattr(module, "rankvit_layers", None)):
             raise ValueError(
@@ -2070,6 +2227,31 @@ class InferenceEngine:
                 gate_center=module.gate_center,
                 compute_dtype=compute_dtype,
                 interpret=interpret,
+            ))
+            return
+        if type(module).__name__ == "MAEVisionTransformer":
+            # MAE shuffles tokens only in TRAINING (reference
+            # maevit.py:221): the eval engine runs the full sequence, so
+            # encoder AND decoder_blocks ride the merged kernels /
+            # one-dispatch path. Default output = logits (like EncDec);
+            # recon_outputs=True serves the (logits, reconstruction)
+            # tuple of the model's logits_recon contract.
+            if quantized or max_budget is not None:
+                raise NotImplementedError(
+                    "the MAE engine is bf16 eval only (no quantized / "
+                    "max_budget modes; the model takes no budget)")
+            self.params = prepare_engine_params(model.params, compute_dtype,
+                                                fold_ln=True)
+            self._fn = self._jit(functools.partial(
+                maevit_forward_fused,
+                patch_size=module.patch_size,
+                num_heads=module.num_heads,
+                num_decoder_heads=module.num_decoder_heads,
+                num_class_tokens=getattr(module, "num_class_tokens", 1),
+                num_registers=getattr(module, "num_registers", 0),
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+                recon=bool(recon_outputs),
             ))
             return
         if type(module).__name__ in ("PointCloudTransformer",
@@ -2164,13 +2346,17 @@ class InferenceEngine:
                     "add_input=False (SURVEY.md §7.6)")
             # EE variant: classification serves the FINAL logits; pass
             # ee_outputs=True for the linen-shaped (exits..., final) tuple.
-            # EncDec variant: classification logits only (the decoder is a
-            # training/visualization artifact; use the linen path for
-            # reconstructions).
+            # EncDec variant: classification logits by default; pass
+            # recon_outputs=True for the linen-shaped (logits, recon,
+            # mask_img) tuple with the decoder on the fused stack.
             is_ee = type(module).__name__ == "EEResidualVisionTransformer"
             if ee_outputs and not is_ee:
                 raise NotImplementedError(
                     "ee_outputs=True needs an EEResidualVisionTransformer")
+            if recon_outputs and quantized:
+                raise NotImplementedError(
+                    "recon_outputs=True is bf16-only: the int8 residual "
+                    "path has no quantized decoder blocks")
             common = dict(
                 patch_size=module.patch_size,
                 num_heads=module.num_heads,
@@ -2222,6 +2408,11 @@ class InferenceEngine:
                     early_exits=bool(ee_outputs), **common),
                     n_scalar_args=1)
             else:
+                if recon_outputs:
+                    common["recon"] = True
+                    common["decoder_num_heads"] = (
+                        getattr(module, "decoder_num_heads", None)
+                        or module.num_heads)
                 self.params = prepare_engine_params(model.params,
                                                     compute_dtype)
                 self._fn = self._jit_noise(functools.partial(

@@ -12,6 +12,7 @@ from peekvit_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    make_hybrid_mesh,
     make_mesh,
     param_spec,
     replicated_sharding,
@@ -23,6 +24,7 @@ from peekvit_tpu.parallel.mesh import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "make_hybrid_mesh",
     "make_mesh",
     "param_spec",
     "batch_sharding",

@@ -42,6 +42,58 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+    slice_of=None,
+) -> Mesh:
+    """A (data, model) mesh laid out for MULTI-SLICE topologies (TPU pods
+    joined by DCN), same axis names as :func:`make_mesh` so every
+    Trainer/engine code path works unchanged.
+
+    Layout rule (How to Scale Your Model: collectives must ride ICI, not
+    DCN, wherever the sharding allows): the ``model`` axis and each
+    slice's block of the ``data`` axis stay INSIDE one slice, so
+    tensor-parallel psums and in-slice gradient reduce-scatters ride ICI;
+    only the data axis's slice-major stride crosses DCN, where the one
+    unavoidable cross-slice collective — the gradient all-reduce — is
+    lowered hierarchically by XLA (in-slice reduce-scatter, cross-slice
+    all-reduce of 1/slice_size of the bytes, in-slice all-gather).
+
+    Slice membership comes from each device's ``slice_index`` (absent on
+    CPU/single-slice backends); ``slice_of`` overrides it (used by the
+    virtual-mesh tests). With no slice info or a single slice this is
+    exactly :func:`make_mesh`.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if slice_of is None:
+        slice_of = lambda d: getattr(d, "slice_index", None)  # noqa: E731
+    sids = [slice_of(d) for d in devices]
+    if any(s is None for s in sids) or len(set(sids)) <= 1:
+        return make_mesh(n_model=n_model, devices=devices)
+
+    groups: dict = {}
+    for d, s in zip(devices, sids):
+        groups.setdefault(s, []).append(d)
+    sizes = {len(g) for g in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"uneven slices: {({k: len(g) for k, g in groups.items()})} — "
+            "a hybrid mesh needs the same device count per slice")
+    per = sizes.pop()
+    if per % n_model:
+        raise ValueError(
+            f"n_model={n_model} must divide the {per} devices of one "
+            "slice (the model axis may not cross DCN)")
+    # slice-major data axis: rows [s*per/n_model, (s+1)*per/n_model) all
+    # live in slice s, so each mesh row (a model-axis group) is in-slice
+    grid = np.stack([
+        np.asarray(groups[s]).reshape(per // n_model, n_model)
+        for s in sorted(groups)
+    ]).reshape(-1, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis split over data; rest replicated."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -104,7 +104,7 @@ def test_test_entry_budget_sweep(tmp_path):
         f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
         "dataset.val_size=24", f"load_from={res['experiment_dir']}",
         "test.test_batch_size=12", "test.num_workers=0",
-        "test.budgets=[0.5,1.0]",
+        "test.budgets=[0.5,1.0]", "test.profile=true",
     ])
     summary = results[res["experiment_dir"]]
     rb = summary["results_per_budget"]
@@ -116,6 +116,9 @@ def test_test_entry_budget_sweep(tmp_path):
     images = os.path.join(res["experiment_dir"], "images")
     assert os.path.isfile(os.path.join(images, "budget_vs_acc.png"))
     assert os.path.isfile(os.path.join(images, "flops_vs_acc.png"))
+    # test.profile=true captured a jax.profiler trace of the device loop
+    prof = os.path.join(res["experiment_dir"], "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)
 
 
 def test_adavit_noise_sweep_entry(tmp_path):

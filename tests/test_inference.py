@@ -477,11 +477,65 @@ def test_encdec_engine_matches_linen_logits():
     model.params = jax.tree.map(jnp.asarray, p)
     x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
 
-    (logits, _, _), _ = model(x, budget=0.7)
+    (logits, recon, recon_mask), _ = model(x, budget=0.7)
     engine = InferenceEngine(model, compute_dtype=jnp.float32,
                              interpret=True)
     got = np.asarray(engine(x, budget=0.7))
     np.testing.assert_allclose(got, np.asarray(logits), rtol=2e-4, atol=2e-4)
+
+    # recon_outputs=True: the decoder rides the fused stack and the
+    # engine returns the linen-shaped (logits, recon, mask_img) tuple
+    full = InferenceEngine(model, compute_dtype=jnp.float32,
+                           interpret=True, recon_outputs=True)
+    gl, gr, gm = full(x, budget=0.7)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(recon),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(recon_mask),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(NotImplementedError, match="bf16-only"):
+        InferenceEngine(model, interpret=True, recon_outputs=True,
+                        quantized=True)
+
+
+def test_maevit_engine_matches_linen():
+    """MAE eval forward (no shuffle at eval, reference maevit.py:221) via
+    the fused engine: logits-only by default, (logits, reconstruction)
+    with recon_outputs=True — both vs the linen tuple."""
+    from peekvit_tpu.models.registry import build_model
+
+    model = build_model(
+        "maevit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=10, mask_ratio=0.25,
+             decoder_hidden_dim=32, decoder_mlp_dim=64,
+             num_decoder_layers=1, num_decoder_heads=2),
+        seed=17,
+    )
+    rng = np.random.default_rng(8)
+    p = jax.tree.map(lambda x: np.array(x, np.float32), model.params)
+    for leaf in ("head", "decoder_head"):
+        p[leaf]["kernel"][:] = rng.normal(0, 0.05, p[leaf]["kernel"].shape)
+    p["mask_token"][:] = rng.normal(0, 0.1, p["mask_token"].shape)
+    model.params = jax.tree.map(jnp.asarray, p)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+
+    (logits, recon), _ = model(x)
+    engine = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(logits),
+                               rtol=1e-3, atol=1e-3)
+
+    full = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                           recon_outputs=True)
+    got_l, got_r = full(x)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(logits),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(recon),
+                               rtol=1e-3, atol=1e-3)
+    with pytest.raises(NotImplementedError, match="bf16 eval only"):
+        InferenceEngine(model, interpret=True, quantized=True)
 
 
 def test_ee_outputs_rejected_for_non_ee_models():

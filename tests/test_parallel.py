@@ -120,6 +120,48 @@ def test_ep_sharded_moe_forward_matches_replicated():
     assert len(k.sharding.device_set) > 1
 
 
+def test_hybrid_mesh_layout_and_parity():
+    """make_hybrid_mesh (multi-slice DCN topologies): the model axis
+    never crosses a slice, the data axis is slice-major, degenerate
+    cases fall back to make_mesh, and the same EP-sharded forward runs
+    unchanged over the hybrid layout."""
+    from peekvit_tpu.parallel import make_hybrid_mesh
+
+    devs = jax.devices()
+    two_slices = lambda d: d.id // 4  # noqa: E731  (fake 2x4 topology)
+    mesh = make_hybrid_mesh(n_model=2, devices=devs, slice_of=two_slices)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    for row in mesh.devices:  # each model-axis group lives in ONE slice
+        assert len({two_slices(d) for d in row}) == 1
+    # data axis slice-major: in-slice reduce-scatter blocks are contiguous
+    assert [two_slices(r[0]) for r in mesh.devices] == [0, 0, 1, 1]
+
+    # no slice info (CPU devices carry none) -> exactly make_mesh
+    flat = make_hybrid_mesh(n_model=2, devices=devs)
+    assert (flat.devices == make_mesh(n_model=2, devices=devs).devices).all()
+
+    with pytest.raises(ValueError, match="must divide"):
+        make_hybrid_mesh(n_model=3, devices=devs, slice_of=two_slices)
+    with pytest.raises(ValueError, match="uneven"):
+        make_hybrid_mesh(devices=devs[:6], slice_of=two_slices)
+
+    # the EP/TP sharding rules compose with the hybrid layout: experts
+    # shard over the in-slice model axis, results match replicated
+    x, _ = _data(4)
+    moe = build_model(
+        "moevit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=10, mlp_moes=[2, 2]),
+        seed=3,
+    )
+    want, _ = moe(x)
+    moe.params = shard_params(moe.params, mesh, tensor_parallel=True)
+    moe._jitted = None
+    got, _ = moe(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_ep_param_spec_rules():
     from jax.sharding import PartitionSpec as P
 

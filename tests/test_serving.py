@@ -165,6 +165,40 @@ def test_bundle_adavit(tmp_path):
     np.testing.assert_array_equal(np.asarray(srv(x)), np.asarray(eng(x)))
 
 
+def test_bundle_maevit_recon_outputs(tmp_path):
+    """MAE bundles: logits-only by default; recon_outputs=True serves
+    the (logits, reconstruction) tuple. The mask_token (train-only) is a
+    pruned dead leaf in both."""
+    import json
+
+    model = build_model(
+        "maevit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7, mask_ratio=0.25,
+             decoder_hidden_dim=32, decoder_mlp_dim=64,
+             num_decoder_layers=1, num_decoder_heads=2),
+        seed=23)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    x = _x(seed=9)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "m"),
+                                                  x))
+    np.testing.assert_array_equal(np.asarray(srv(x)), np.asarray(eng(x)))
+    meta = json.loads((tmp_path / "m" / "meta.json").read_text())
+    assert meta["params"]["mask_token"].get("dead"), \
+        "train-only mask_token must be pruned from an eval bundle"
+
+    full = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                           recon_outputs=True)
+    srv2 = load_serving_bundle(save_serving_bundle(
+        full, str(tmp_path / "mr"), x))
+    got, want = srv2(x), full(x)
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_bundle_eeresidualvit_tuple_outputs(tmp_path):
     """ee_outputs=True bundles return the full (exit_0.., final) tuple;
     the budget stays a traced scalar in the artifact."""
@@ -185,6 +219,30 @@ def test_bundle_eeresidualvit_tuple_outputs(tmp_path):
     for b in (1.0, 0.6):
         got, want = srv(x, budget=b), eng(x, budget=b)
         assert len(got) == len(want) == 4
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_bundle_encdec_recon_outputs(tmp_path):
+    """EncDec recon_outputs=True bundles serve the (logits, recon,
+    mask_img) tuple with the budget still a traced scalar."""
+    model = build_model(
+        "encdecresidualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable", decoder_num_layers=1),
+        seed=29)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(9), model.params["head"]["kernel"].shape)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          recon_outputs=True)
+    x = _x(seed=11)
+    srv = load_serving_bundle(save_serving_bundle(eng, str(tmp_path / "ed"),
+                                                  x))
+    for b in (1.0, 0.5):
+        got, want = srv(x, budget=b), eng(x, budget=b)
+        assert len(got) == len(want) == 3
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 

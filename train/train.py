@@ -57,7 +57,7 @@ def train(cfg) -> dict:
     from peekvit_tpu.data.loader import DataLoader
     from peekvit_tpu.models import topology
     from peekvit_tpu.models.registry import build_model
-    from peekvit_tpu.parallel import make_mesh
+    from peekvit_tpu.parallel import make_hybrid_mesh
     from peekvit_tpu.training.trainer import Trainer
     from peekvit_tpu.utils.checkpoint import (
         get_checkpoint_path,
@@ -136,8 +136,10 @@ def train(cfg) -> dict:
     pipeline_stages = int(tr.get("pipeline_stages") or 0)
     sp_devices = int(tr.get("sequence_parallel_devices") or 0)
     # pipeline/SP modes own the device layout (a dedicated mesh axis built
-    # by the Trainer); otherwise default to data parallelism over every chip
-    mesh = (make_mesh()
+    # by the Trainer); otherwise default to data parallelism over every
+    # chip — slice-aware on multi-slice pods (grad all-reduce lowers
+    # hierarchically: in-slice over ICI, cross-slice over DCN)
+    mesh = (make_hybrid_mesh()
             if len(jax.devices()) > 1 and pipeline_stages <= 1
             and sp_devices <= 1 else None)
     trainer = Trainer(

@@ -81,7 +81,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
          "ResidualVisionTransformer", "VisionTransformerMoE",
          "AdaptiveVisionTransformer", "EEResidualVisionTransformer",
          "ResidualVisionTransformerWithDecoder", "PointCloudTransformer",
-         "RankPointCloudTransformer")
+         "RankPointCloudTransformer", "MAEVisionTransformer")
     ):
         from peekvit_tpu.inference import InferenceEngine
 
@@ -214,8 +214,18 @@ def validate(model, cfg, dataset, experiment_dir, logger):
         # engine fns run the ENGINE's prepared tree (quantized/pre-folded
         # — the raw fp tree lacks the int8 leaves), linen the model's
         timing_params = engine.params if engine is not None else model.params
-        sec = device_seconds_per_iter(step_sum, (timing_params, flops_batch),
-                                      reps=5)
+        if tcfg.get("profile") and not device_timings:
+            # jax.profiler trace of the timed forward at the first budget
+            # (SURVEY §5: the TPU-native analogue of the reference's
+            # wall-clock-only instrumentation, validate/test.py:113-124)
+            trace_dir = os.path.join(experiment_dir, "profile")
+            print(f"profiling device loop -> {trace_dir}", flush=True)
+            with jax.profiler.trace(trace_dir):
+                sec = device_seconds_per_iter(
+                    step_sum, (timing_params, flops_batch), reps=5)
+        else:
+            sec = device_seconds_per_iter(
+                step_sum, (timing_params, flops_batch), reps=5)
         device_timings[b] = bs / sec
 
         if not tcfg.get("skip_flops_count", False):
