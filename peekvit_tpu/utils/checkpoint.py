@@ -32,21 +32,44 @@ def make_experiment_directory(base: str) -> tuple[str, str]:
     return ckpt, images
 
 
+_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _async_checkpointer() -> "ocp.AsyncCheckpointer":
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save has committed to disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_state(
     checkpoints_dir: str,
     model: Model,
     optimizer_state: Any = None,
     epoch: int = 0,
     skip_optimizer: bool = True,
+    async_save: bool = False,
 ) -> str:
-    """Save a self-describing checkpoint. Returns the checkpoint path."""
+    """Save a self-describing checkpoint. Returns the checkpoint path.
+
+    ``async_save=True`` returns as soon as the device->host copy is done
+    and writes in a background thread (orbax AsyncCheckpointer), so the
+    next epoch's compute overlaps the disk write. Readers never see a
+    partial checkpoint: orbax commits the ``params`` dir atomically
+    (write-to-tmp + rename) and ``get_checkpoint_path`` requires it, so
+    an in-flight epoch is invisible until committed; same-process
+    ``load_state`` flushes pending saves first (wait_for_checkpoints).
+    """
     path = os.path.abspath(os.path.join(checkpoints_dir, f"epoch_{epoch:03d}"))
     os.makedirs(path, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "params"), model.params, force=True)
-    if optimizer_state is not None and not skip_optimizer:
-        ckptr.save(os.path.join(path, "opt_state"), optimizer_state, force=True)
-    ckptr.wait_until_finished()
+    # metadata first: a checkpoint becomes visible only once the
+    # atomically-renamed params dir lands next to it
     meta = {
         "model_class": model.model_class,
         "model_args": model.model_args,
@@ -55,6 +78,19 @@ def save_state(
     }
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # one save in flight at a time
+    else:
+        ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "params"), model.params, force=True)
+    if optimizer_state is not None and not skip_optimizer:
+        if async_save:
+            ckptr.wait_until_finished()
+        ckptr.save(os.path.join(path, "opt_state"), optimizer_state,
+                   force=True)
+    if not async_save:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -68,6 +104,7 @@ def load_state(
     Mirrors reference utils.py:216-256 (strict=False keeps init values for
     params missing from the checkpoint).
     """
+    wait_for_checkpoints()  # same-process read-after-async-write safety
     path = os.path.abspath(checkpoint_path)
     with open(os.path.join(path, "metadata.json")) as f:
         meta = json.load(f)
@@ -96,18 +133,22 @@ def load_state(
 
 
 def load_optimizer_state(checkpoint_path: str, target: Any) -> Any:
+    wait_for_checkpoints()
     path = os.path.abspath(os.path.join(checkpoint_path, "opt_state"))
     return ocp.StandardCheckpointer().restore(path, target=target)
 
 
 def get_checkpoint_path(experiment_dir: str) -> Optional[str]:
-    """Last checkpoint (lexical sort) in {dir}/checkpoints or {dir} itself."""
+    """Last COMMITTED checkpoint (lexical sort) in {dir}/checkpoints or
+    {dir} itself. Requires the params dir (orbax commits it atomically),
+    so an in-flight async save is never picked up."""
     for root in (os.path.join(experiment_dir, "checkpoints"), experiment_dir):
         if os.path.isdir(root):
             epochs = sorted(
                 d for d in os.listdir(root)
                 if d.startswith("epoch_")
                 and os.path.isfile(os.path.join(root, d, "metadata.json"))
+                and os.path.isdir(os.path.join(root, d, "params"))
             )
             if epochs:
                 return os.path.join(root, epochs[-1])

@@ -99,6 +99,32 @@ def test_checkpoint_roundtrip_rebuilds_model(tmp_path):
     assert found and found.endswith("epoch_003")
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save=True: save returns immediately, load_state flushes the
+    in-flight write (wait_for_checkpoints), params round-trip exactly;
+    get_checkpoint_path never surfaces an uncommitted checkpoint
+    (metadata present but no atomically-renamed params dir)."""
+    from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
+
+    model = build_model("vit", ARGS, noise_args=None)
+    path = save_state(str(tmp_path), model, epoch=1, async_save=True)
+    restored = load_state(path)  # waits for the async commit internally
+    for a, b in zip(jax.tree.leaves(model.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a metadata-only (in-flight / aborted) epoch dir is invisible
+    import os
+
+    fake = tmp_path / "epoch_999"
+    fake.mkdir()
+    (fake / "metadata.json").write_text("{}")
+    found = get_checkpoint_path(str(tmp_path))
+    assert found and found.endswith("epoch_001"), found
+    assert os.path.isdir(os.path.join(path, "params"))
+    wait_for_checkpoints()  # idempotent when nothing is in flight
+
+
 def test_noise_value_sweep_no_effect_at_zero():
     model = build_model("vit", ARGS, noise_args={"noise_type": "gaussian", "layer": 1})
     assert model.has_noise and model.current_noise == 0.0

@@ -198,7 +198,11 @@ def train(cfg) -> dict:
                 results["val_accuracy"][(epoch, b)] = acc
 
         if tr.checkpoint_every > 0 and epoch % tr.checkpoint_every == 0:
-            path = save_state(checkpoints_dir, model, trainer.opt_state, epoch)
+            # async by default: the write overlaps the next epoch; the
+            # end-of-train barrier below guarantees everything committed
+            path = save_state(checkpoints_dir, model, trainer.opt_state,
+                              epoch,
+                              async_save=tr.get("async_checkpoints", True))
             print(f"  checkpoint -> {path}", flush=True)
 
         if (
@@ -222,6 +226,9 @@ def train(cfg) -> dict:
             except ImportError:
                 print("visualize module unavailable; skipping mask plots")
 
+    from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # flush in-flight async saves before returning
     logger.close()
     return results
 

@@ -107,7 +107,8 @@ def train_reconstruction(cfg, reconstruction_weight: float = 1.0) -> dict:
                 logger.log({f"{tag}/accuracy": acc, f"{tag}/loss": loss})
                 results["val_accuracy"][(epoch, b)] = acc
         if tr.checkpoint_every > 0 and epoch % tr.checkpoint_every == 0:
-            save_state(checkpoints_dir, model, trainer.opt_state, epoch)
+            save_state(checkpoints_dir, model, trainer.opt_state, epoch,
+                       async_save=tr.get("async_checkpoints", True))
         if tr.get("plot_masks_every", -1) > 0 and epoch % tr.plot_masks_every == 0:
             from peekvit_tpu.utils.visualize import plot_reconstructed_images
 
@@ -119,6 +120,9 @@ def train_reconstruction(cfg, reconstruction_weight: float = 1.0) -> dict:
                 budget=next((b for b in val_budgets if b is not None), None),
                 save_dir=os.path.join(images_dir, f"epoch_{epoch}", "recon"),
             )
+    from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     logger.close()
     return results
 
