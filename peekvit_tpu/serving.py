@@ -269,3 +269,58 @@ def load_serving_bundle(path: str) -> ServingEngine:
     else:
         call = exported.call
     return ServingEngine(jax.jit(call), _unflatten(flat), meta)
+
+
+def _main(argv=None):
+    """Minimal serving-host CLI::
+
+        python -m peekvit_tpu.serving BUNDLE INPUT.npy \\
+            [--budget B] [--out OUT.npy] [--bench N]
+
+    Loads the bundle, runs the .npy batch (which must match the exported
+    batch geometry), optionally saves the outputs (.npy, or .npz with
+    ``out_0..`` keys for tuple-output bundles) and times N steady-state
+    calls. This is the whole deployment surface: no model zoo, config
+    system, or preparation code is imported.
+    """
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("bundle")
+    p.add_argument("input", help=".npy batch matching meta.image_shape")
+    p.add_argument("--budget", type=float, default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--bench", type=int, default=0,
+                   help="wall-clock N calls after warmup")
+    args = p.parse_args(argv)
+
+    srv = load_serving_bundle(args.bundle)
+    x = jnp.asarray(np.load(args.input))
+    out = srv(x, budget=args.budget)
+    leaves = jax.tree.leaves(out)
+    jax.block_until_ready(leaves)
+    info = {"bundle": args.bundle,
+            "outputs": [list(v.shape) for v in leaves],
+            "budget_mode": srv.meta["budget_mode"]}
+    if args.bench:
+        t0 = time.time()
+        for _ in range(args.bench):
+            jax.block_until_ready(jax.tree.leaves(
+                srv(x, budget=args.budget)))
+        dt = (time.time() - t0) / args.bench
+        info["ms_per_batch"] = round(dt * 1000, 3)
+        info["items_per_s"] = round(x.shape[0] / dt, 1)
+    if args.out:
+        if len(leaves) == 1:
+            np.save(args.out, np.asarray(leaves[0]))
+        else:
+            np.savez(args.out, **{f"out_{i}": np.asarray(v)
+                                  for i, v in enumerate(leaves)})
+        info["saved"] = args.out
+    print(json.dumps(info))
+    return info
+
+
+if __name__ == "__main__":
+    _main()

@@ -272,6 +272,25 @@ def test_bundle_pct_and_rankpct(tmp_path):
                                   np.asarray(reng(pts, budget=0.5)))
 
 
+def test_serving_cli(tmp_path):
+    """python -m peekvit_tpu.serving BUNDLE INPUT.npy: the whole
+    deployment surface — load, run, save, bench — without the model
+    zoo."""
+    from peekvit_tpu.serving import _main
+
+    model = _vit()
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    x = _x()
+    path = save_serving_bundle(eng, str(tmp_path / "cli"), x)
+    np.save(tmp_path / "batch.npy", np.asarray(x))
+    out = str(tmp_path / "logits.npy")
+    info = _main([path, str(tmp_path / "batch.npy"), "--out", out,
+                  "--bench", "2"])
+    assert info["outputs"] == [[2, 7]]
+    assert info["ms_per_batch"] > 0
+    np.testing.assert_array_equal(np.load(out), np.asarray(eng(x)))
+
+
 def test_bundle_shape_and_mode_guards(tmp_path):
     model = _vit()
     eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
