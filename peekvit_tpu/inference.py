@@ -2201,6 +2201,15 @@ class InferenceEngine:
             "EEResidualVisionTransformer",
             "ResidualVisionTransformerWithDecoder",
         )
+        # Every budget-token mode except 'learnable' derives the gate
+        # threshold from a WHOLE-BATCH mean of the (image-mixed) budget
+        # token, so outputs for one image depend on its batchmates —
+        # serving layers must not zero-pad such batches (serving.py
+        # refuses; the dp mesh path pmean's instead).
+        self._batch_coupled = bool(
+            self._residual
+            and getattr(module, "add_budget_token", False)
+            not in (False, None, "learnable"))
         if type(module).__name__ == "AdaptiveVisionTransformer":
             if quantized or max_budget is not None:
                 raise NotImplementedError(

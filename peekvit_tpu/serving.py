@@ -27,8 +27,12 @@ restarts). What it removes is model construction, parameter preparation
 of which need to exist on the serving host.
 
 Shapes are static (the engines are static-shape by design — Mosaic
-kernels bake the batch geometry), so one bundle serves one batch size;
-export one bundle per served bucket. A reloaded bundle is a fresh XLA
+kernels bake the batch geometry), so one traced program serves one batch
+size; :func:`save_bucketed_bundle` exports several batch-size buckets in
+one artifact and serves ANY batch up to the largest via zero-row padding
+(inference math is per-image, so pad rows are inert — except the
+batch-coupled non-learnable budget-token residual family, which serves
+exact bucket sizes only). A reloaded bundle is a fresh XLA
 compilation of the serialized StableHLO: on TPU with bf16 engines its
 logits can differ from the live engine at bf16 rounding scale (XLA may
 pick different fusion/layout choices for the same program — measured
@@ -120,6 +124,11 @@ def save_serving_bundle(engine, path: str, sample_images,
         "image_dtype": str(x.dtype),
         "budget_mode": "none",
     }
+    if getattr(engine, "_batch_coupled", False):
+        # non-learnable budget-token residual models: gate thresholds use
+        # a whole-batch budget-token mean, so one image's outputs depend
+        # on its batchmates — serving layers must not zero-pad batches
+        meta["batch_coupled"] = True
     if getattr(engine, "_residual", False):
         fn = engine._fn
         extras = (jnp.float32(1.0 if budget is None else budget),)
@@ -202,6 +211,11 @@ class ServingEngine:
         self.params = params
         self.meta = meta
 
+    @property
+    def batch_sizes(self) -> tuple:
+        """Batch geometries this artifact serves (one for a plain bundle)."""
+        return (self.meta["image_shape"][0],)
+
     def __call__(self, images, budget: Optional[float] = None):
         want = tuple(self.meta["image_shape"])
         if tuple(images.shape) != want:
@@ -228,13 +242,104 @@ class ServingEngine:
         return self._call(self.params, jnp.asarray(images), jnp.float32(b))
 
 
-def load_serving_bundle(path: str) -> ServingEngine:
-    """Load a bundle saved by :func:`save_serving_bundle`. Needs jax +
-    numpy only — no model zoo, no config, no preparation code."""
+def _tile_batch(x, n: int):
+    """First ``n`` rows of ``x``, tiling it if ``n`` exceeds its batch."""
+    reps = -(-n // x.shape[0])
+    return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:n]
+
+
+def save_bucketed_bundle(engine, path: str, sample_images,
+                         batch_sizes, budget: Optional[float] = None) -> str:
+    """Export one bundle per batch-size BUCKET under ``path`` (engine
+    shapes are static — each bucket is its own traced program), plus a
+    top-level ``meta.json`` naming them. :func:`load_serving_bundle` on
+    ``path`` returns a :class:`BucketedServingEngine` that serves ANY
+    batch size up to the largest bucket: inputs pad with zero rows to the
+    smallest bucket that fits and outputs slice back. Inference math is
+    per-image for every engine family EXCEPT residual models with a
+    non-``learnable`` budget token (whole-batch budget-token mean in the
+    gate threshold) — those export fine but refuse padded calls: only
+    exact bucket sizes serve (include bucket 1 to serve request-at-a-time).
+    """
+    buckets = sorted(set(int(b) for b in batch_sizes))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
+    x = jnp.asarray(sample_images)
+    os.makedirs(path, exist_ok=True)
+    for n in buckets:
+        save_serving_bundle(engine, os.path.join(path, f"b{n}"),
+                            _tile_batch(x, n), budget=budget)
+    with open(os.path.join(path, f"b{buckets[0]}", _META_FILE)) as f:
+        sub = json.load(f)
+    meta = {"format_version": FORMAT_VERSION, "buckets": buckets,
+            "platform": sub["platform"],
+            "image_shape": [buckets[-1]] + sub["image_shape"][1:],
+            "image_dtype": sub["image_dtype"],
+            "budget_mode": sub["budget_mode"]}
+    for k in ("budget", "max_budget", "batch_coupled"):
+        if k in sub:
+            meta[k] = sub[k]
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+class BucketedServingEngine:
+    """Several batch-geometry buckets of one exported engine behind a
+    single flexible-batch ``__call__``: any batch up to the largest
+    bucket runs on the smallest bucket that fits (zero-row padding,
+    outputs sliced back to the true batch)."""
+
+    def __init__(self, engines: dict, meta):
+        self._engines = dict(sorted(engines.items()))
+        self.meta = meta
+
+    @property
+    def batch_sizes(self) -> tuple:
+        return tuple(self._engines)
+
+    def __call__(self, images, budget: Optional[float] = None):
+        x = jnp.asarray(images)
+        want = tuple(self.meta["image_shape"][1:])
+        if tuple(x.shape[1:]) != want:
+            raise ValueError(
+                f"bundle serves items of shape {want}, got batches of "
+                f"{tuple(x.shape[1:])}")
+        n = x.shape[0]
+        fit = [b for b in self._engines if b >= n]
+        if not fit:
+            raise ValueError(
+                f"batch {n} exceeds the largest exported bucket "
+                f"{max(self._engines)} — split the batch or re-export "
+                "with a larger bucket")
+        bucket = fit[0]
+        if bucket != n:
+            if self.meta.get("batch_coupled"):
+                raise ValueError(
+                    f"batch {n} needs zero-padding to bucket {bucket}, but "
+                    "this model's gate thresholds use a whole-batch "
+                    "budget-token mean (pad rows would perturb real "
+                    "outputs) — send exact bucket sizes "
+                    f"{self.batch_sizes}, or export with bucket 1")
+            x = jnp.concatenate(
+                [x, jnp.zeros((bucket - n,) + x.shape[1:], x.dtype)])
+        out = self._engines[bucket](x, budget=budget)
+        return jax.tree.map(lambda v: v[:n], out) if bucket != n else out
+
+
+def load_serving_bundle(path: str):
+    """Load a bundle saved by :func:`save_serving_bundle` (returns a
+    :class:`ServingEngine`) or :func:`save_bucketed_bundle` (returns a
+    :class:`BucketedServingEngine`). Needs jax + numpy only — no model
+    zoo, no config, no preparation code."""
     import ml_dtypes  # jax dependency, provides the bfloat16 numpy dtype
 
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
+    if "buckets" in meta:
+        engines = {n: load_serving_bundle(os.path.join(path, f"b{n}"))
+                   for n in meta["buckets"]}
+        return BucketedServingEngine(engines, meta)
     if meta.get("format_version") not in (1, FORMAT_VERSION):
         raise ValueError(
             f"bundle format {meta.get('format_version')} not in (1, "

@@ -1,0 +1,296 @@
+"""Online serving host: dynamic micro-batching + an HTTP front end over
+an exported serving bundle.
+
+The PyTorch reference serves from the live module inside an offline eval
+loop (``/root/reference/validate/test.py:113-124``); this module is the
+deployment-side counterpart for the TPU engines: concurrent single-image
+(or small-batch) requests coalesce into engine-sized batches so the MXU
+always sees the batch geometry it was exported for, instead of one
+dispatch per request.
+
+Two layers, both usable on their own:
+
+- :class:`MicroBatcher` — in-process request aggregation.
+  ``submit(images[, budget]) -> Future``; a dispatcher thread drains
+  same-budget runs of the queue, concatenates them up to the largest
+  exported bucket, zero-pads to the smallest bucket that fits (see
+  ``serving.BucketedServingEngine`` — pad rows are inert because engine
+  inference math is per-image), runs ONE engine call, and slices results
+  back per request. Requests with different budgets never share a batch
+  (budget is a whole-batch operand for traced-budget bundles).
+- :func:`build_server` / the CLI — a threaded HTTP server on top:
+  ``POST /predict`` with an ``.npy`` body (one item or a batch; optional
+  ``X-Budget`` header) answers with ``.npy`` logits (``.npz`` with
+  ``out_0..`` keys for tuple-output bundles); ``GET /healthz`` and
+  ``GET /stats`` report liveness and batching counters. stdlib-only, so
+  the serving host needs jax + numpy and nothing else, like the bundles.
+
+Batch-coupled models (non-learnable budget-token residual ViTs, whose
+gate thresholds take a whole-batch budget-token mean): aggregation
+composes requests into one batch exactly like the reference's own
+batched eval loop does, but zero-PADDING would inject fake rows into
+that mean, so for bundles marked ``batch_coupled`` the batcher only
+dispatches exact bucket sizes (export with bucket 1 to serve
+request-at-a-time).
+
+CLI::
+
+    python -m peekvit_tpu.serving_host BUNDLE [--port 8390]
+        [--max-delay-ms 5] [--timeout-s 60]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peekvit_tpu.serving import load_serving_bundle
+
+
+class MicroBatcher:
+    """Aggregate concurrent requests into engine-sized batches.
+
+    ``engine`` is a loaded bundle (``ServingEngine`` or
+    ``BucketedServingEngine``) or anything with the same surface
+    (``__call__(images, budget=)``, ``.meta``, ``.batch_sizes``).
+    ``max_delay_ms`` bounds how long a request waits for batchmates once
+    it is at the head of the queue; a full batch dispatches immediately.
+    """
+
+    def __init__(self, engine, max_delay_ms: float = 5.0):
+        self.engine = engine
+        self._buckets = tuple(sorted(engine.batch_sizes))
+        self._item_shape = tuple(engine.meta["image_shape"][1:])
+        self._coupled = bool(engine.meta.get("batch_coupled"))
+        self._max_delay = max_delay_ms / 1000.0
+        self._cv = threading.Condition()
+        self._queue = []  # [(rows ndarray, budget, Future)]
+        self._closed = False
+        self.stats = {"requests": 0, "items": 0, "batches": 0,
+                      "padded_rows": 0, "errors": 0}
+        self._thread = threading.Thread(
+            target=self._loop, name="microbatcher", daemon=True)
+        self._thread.start()
+
+    # -- client surface ---------------------------------------------------
+
+    def submit(self, images, budget: Optional[float] = None) -> Future:
+        """Queue one item (item-shaped) or one batch (batch-shaped);
+        returns a Future resolving to the engine outputs for exactly the
+        submitted rows (leading axis preserved)."""
+        x = np.asarray(images)
+        if x.shape == self._item_shape:
+            x = x[None]
+        if x.shape[1:] != self._item_shape or x.ndim != \
+                len(self._item_shape) + 1:
+            raise ValueError(
+                f"expected items of shape {self._item_shape} (or batches "
+                f"of them), got {x.shape}")
+        if not 1 <= x.shape[0] <= self._buckets[-1]:
+            raise ValueError(
+                f"request batch {x.shape[0]} must be 1..{self._buckets[-1]}"
+                " (the largest exported bucket) — split larger requests")
+        if self._coupled and x.shape[0] not in self._buckets:
+            raise ValueError(
+                f"this bundle is batch-coupled (whole-batch budget-token "
+                f"mean): requests must exactly match a bucket "
+                f"{self._buckets} — no padding, no aggregation")
+        fut = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append((x, budget, fut))
+            self.stats["requests"] += 1
+            self.stats["items"] += x.shape[0]
+            self._cv.notify_all()
+        return fut
+
+    def predict(self, images, budget: Optional[float] = None,
+                timeout: Optional[float] = None):
+        return self.submit(images, budget=budget).result(timeout)
+
+    def close(self) -> None:
+        """Stop accepting work, flush the queue, join the dispatcher."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join()
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _head_run(self):
+        """(rows, budget) aggregable at the queue head right now: the
+        longest same-budget prefix that fits the largest bucket."""
+        budget, n = self._queue[0][1], 0
+        for x, b, _ in self._queue:
+            if b != budget or n + x.shape[0] > self._buckets[-1]:
+                break
+            n += x.shape[0]
+        return n, budget
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue:
+                    return  # closed and drained
+                # wait (bounded) for batchmates unless already full;
+                # batch-coupled bundles dispatch requests as submitted
+                deadline = time.monotonic() + self._max_delay
+                while not self._coupled and not self._closed:
+                    n, _ = self._head_run()
+                    rem = deadline - time.monotonic()
+                    if n >= self._buckets[-1] or rem <= 0:
+                        break
+                    self._cv.wait(rem)
+                if self._coupled:
+                    batch = [self._queue.pop(0)]
+                    n = batch[0][0].shape[0]
+                    budget = batch[0][1]
+                else:
+                    n, budget = self._head_run()
+                    batch, got = [], 0
+                    while got < n:
+                        item = self._queue.pop(0)
+                        batch.append(item)
+                        got += item[0].shape[0]
+            self._dispatch(batch, n, budget)
+
+    def _dispatch(self, batch, n, budget):
+        try:
+            rows = (batch[0][0] if len(batch) == 1
+                    else np.concatenate([x for x, _, _ in batch]))
+            # pad here so plain single-geometry bundles batch too; the
+            # coupled case never reaches this (exact bucket enforced)
+            bucket = min(b for b in self._buckets if b >= n)
+            if bucket != n:
+                rows = np.concatenate(
+                    [rows, np.zeros((bucket - n,) + rows.shape[1:],
+                                    rows.dtype)])
+            out = self.engine(jnp.asarray(rows), budget=budget)
+            leaves, treedef = jax.tree.flatten(out)
+            leaves = [np.asarray(v) for v in leaves]
+            self.stats["batches"] += 1
+            self.stats["padded_rows"] += bucket - n
+            off = 0
+            for x, _, fut in batch:
+                k = x.shape[0]
+                fut.set_result(jax.tree.unflatten(
+                    treedef, [v[off:off + k] for v in leaves]))
+                off += k
+        except Exception as e:  # deliver, don't kill the dispatcher
+            self.stats["errors"] += 1
+            for _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+
+
+def build_server(batcher: MicroBatcher, port: int = 0,
+                 timeout_s: float = 60.0):
+    """A ``ThreadingHTTPServer`` (bound to 127.0.0.1 — front it with a
+    real proxy to expose it) serving ``POST /predict`` / ``GET /healthz``
+    / ``GET /stats`` over ``batcher``. Caller runs ``serve_forever()``
+    (or ``handle_request()``) and ``server_close()``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: stats are GET /stats
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "buckets": list(batcher._buckets)})
+            elif self.path == "/stats":
+                self._json(200, dict(batcher.stats,
+                                     buckets=list(batcher._buckets)))
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                size = int(self.headers.get("Content-Length", "0"))
+                arr = np.load(io.BytesIO(self.rfile.read(size)),
+                              allow_pickle=False)
+                budget = self.headers.get("X-Budget")
+                out = batcher.predict(
+                    arr, budget=None if budget is None else float(budget),
+                    timeout=timeout_s)
+            except (ValueError, TypeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except TimeoutError:
+                self._json(503, {"error": f"no result in {timeout_s}s"})
+                return
+            except Exception as e:  # engine failure surfaced via Future
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            leaves = jax.tree.leaves(out)
+            buf = io.BytesIO()
+            if len(leaves) == 1:
+                np.save(buf, np.asarray(leaves[0]))
+                ctype = "application/x-npy"
+            else:
+                np.savez(buf, **{f"out_{i}": np.asarray(v)
+                                 for i, v in enumerate(leaves)})
+                ctype = "application/x-npz"
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def _main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Serve an exported bundle over HTTP with dynamic "
+                    "micro-batching")
+    p.add_argument("bundle")
+    p.add_argument("--port", type=int, default=8390)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--timeout-s", type=float, default=60.0)
+    args = p.parse_args(argv)
+
+    batcher = MicroBatcher(load_serving_bundle(args.bundle),
+                           max_delay_ms=args.max_delay_ms)
+    httpd = build_server(batcher, port=args.port, timeout_s=args.timeout_s)
+    print(json.dumps({"serving": f"http://127.0.0.1:{httpd.server_port}",
+                      "buckets": list(batcher._buckets),
+                      "budget_mode": batcher.engine.meta["budget_mode"]}),
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    _main()

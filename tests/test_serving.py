@@ -272,6 +272,81 @@ def test_bundle_pct_and_rankpct(tmp_path):
                                   np.asarray(reng(pts, budget=0.5)))
 
 
+def test_bucketed_bundle_pads_and_slices(tmp_path):
+    """save_bucketed_bundle serves ANY batch <= the largest bucket; pad
+    rows are inert (per-image inference math): sliced outputs are
+    bitwise-identical to a direct call on the true batch."""
+    from peekvit_tpu.serving import BucketedServingEngine, \
+        save_bucketed_bundle
+
+    model = _vit()
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    path = save_bucketed_bundle(eng, str(tmp_path / "bk"), _x(4),
+                                batch_sizes=(1, 2, 4))
+    srv = load_serving_bundle(path)
+    assert isinstance(srv, BucketedServingEngine)
+    assert srv.batch_sizes == (1, 2, 4)
+    for n in (1, 2, 3, 4):
+        x = _x(b=n, seed=20 + n)
+        got = np.asarray(srv(x))
+        assert got.shape == (n, 7)
+        if n in (1, 2, 4):  # exact bucket: the very same traced program
+            np.testing.assert_array_equal(got, np.asarray(eng(x)))
+        else:  # padded: inert up to fp rounding (XLA gemm blocking is
+            # geometry-dependent, so cross-batch-size bitwise is not a
+            # contract even on CPU)
+            np.testing.assert_allclose(got, np.asarray(eng(x)),
+                                       rtol=0, atol=5e-6)
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        srv(_x(b=5))
+
+
+def test_bucketed_bundle_traced_budget(tmp_path):
+    """Buckets compose with the padded RankViT traced-budget knob: one
+    artifact serves any (batch, budget<=cap) pair."""
+    from peekvit_tpu.serving import save_bucketed_bundle
+
+    model = _vit("rankvit", rankvit_layers=[1], seed=7)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          max_budget=0.75)
+    path = save_bucketed_bundle(eng, str(tmp_path / "rb"), _x(2),
+                                batch_sizes=(2, 4))
+    srv = load_serving_bundle(path)
+    for n, b in ((1, 0.5), (3, 0.25), (4, 0.75)):
+        x = _x(b=n, seed=n)
+        got, want = np.asarray(srv(x, budget=b)), np.asarray(eng(x, budget=b))
+        if n == 4:  # exact bucket -> bitwise; padded -> fp-rounding inert
+            np.testing.assert_array_equal(got, want)
+        else:
+            np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+def test_bucketed_bundle_batch_coupled_refuses_padding(tmp_path):
+    """Non-learnable budget-token residual models couple rows through a
+    whole-batch budget-token mean: exact bucket sizes serve, padded
+    sizes refuse (zero rows would perturb real outputs)."""
+    from peekvit_tpu.serving import save_bucketed_bundle
+
+    model = build_model(
+        "residualvit",
+        dict(image_size=32, patch_size=8, num_layers=2, num_heads=4,
+             hidden_dim=64, mlp_dim=128, num_classes=7,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token=True),
+        seed=11,
+    )
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    path = save_bucketed_bundle(eng, str(tmp_path / "cp"), _x(2),
+                                batch_sizes=(2, 4))
+    srv = load_serving_bundle(path)
+    assert srv.meta["batch_coupled"] is True
+    x = _x(b=2, seed=6)
+    np.testing.assert_array_equal(np.asarray(srv(x, budget=0.5)),
+                                  np.asarray(eng(x, budget=0.5)))
+    with pytest.raises(ValueError, match="whole-batch"):
+        srv(_x(b=3), budget=0.5)
+
+
 def test_serving_cli(tmp_path):
     """python -m peekvit_tpu.serving BUNDLE INPUT.npy: the whole
     deployment surface — load, run, save, bench — without the model
