@@ -341,16 +341,19 @@ def test_eval_entry_exports_serving_bundles(tmp_path, capsys):
         "dataset.val_size=24", f"load_from={res['experiment_dir']}",
         "test.test_batch_size=12", "test.num_workers=0",
         "test.budgets=[0.5,1.0]", "test.skip_flops_count=true",
-        f"test.export_bundle={bdir}",
+        f"test.export_bundle={bdir}", "test.export_buckets=[4,12]",
     ])
     out = capsys.readouterr().out
     assert out.count("exported serving bundle") == 2, out
     srv = load_serving_bundle(os.path.join(bdir, "budget_0.5"))
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(12, 16, 16, 3)), jnp.float32)
-    logits = srv(x, budget=0.5)
-    assert logits.shape == (12, 10)
-    assert np.isfinite(np.asarray(logits)).all()
+    # export_buckets -> a bucketed artifact: flexible batch up to the max
+    assert srv.batch_sizes == (4, 12)
+    for n in (3, 12):
+        x = jnp.asarray(np.random.default_rng(n).normal(
+            size=(n, 16, 16, 3)), jnp.float32)
+        logits = srv(x, budget=0.5)
+        assert logits.shape == (n, 10)
+        assert np.isfinite(np.asarray(logits)).all()
 
 
 def test_quantized_calibrated_eval_entry(tmp_path, capsys):

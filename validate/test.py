@@ -245,7 +245,21 @@ def validate(model, cfg, dataset, experiment_dir, logger):
             print("export_bundle: no fused engine for this model/mode; "
                   "nothing exported", flush=True)
         else:
-            from peekvit_tpu.serving import save_serving_bundle
+            from peekvit_tpu.serving import (save_bucketed_bundle,
+                                             save_serving_bundle)
+
+            # test.export_buckets=[1,8,...]: bucketed artifact serving any
+            # batch <= max (serving_host pairs with it); default: the
+            # sweep's own batch geometry
+            buckets = tcfg.get("export_buckets")
+
+            def _export(path, budget=None):
+                if buckets:
+                    return save_bucketed_bundle(engine, path, flops_batch,
+                                                batch_sizes=buckets,
+                                                budget=budget)
+                return save_serving_bundle(engine, path, flops_batch,
+                                           budget=budget)
 
             try:
                 if (getattr(engine, "_rank_fns", None) is not None
@@ -254,12 +268,11 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                     # exact-drop ranking engines compile one geometry per
                     # budget: one bundle per swept budget
                     for b in budgets:
-                        p = save_serving_bundle(
-                            engine, os.path.join(bundle_dir, f"budget_{b}"),
-                            flops_batch, budget=b)
+                        p = _export(os.path.join(bundle_dir, f"budget_{b}"),
+                                    budget=b)
                         print(f"exported serving bundle: {p}", flush=True)
                 else:
-                    p = save_serving_bundle(engine, bundle_dir, flops_batch)
+                    p = _export(bundle_dir)
                     print(f"exported serving bundle: {p}", flush=True)
             except NotImplementedError as e:
                 print(f"export_bundle: not exportable ({e})", flush=True)
