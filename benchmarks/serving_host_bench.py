@@ -1,0 +1,144 @@
+"""Online-serving load test: the HTTP micro-batching host on a real TPU.
+
+Measures what a deployment actually sees — end-to-end request latency
+(client -> HTTP -> micro-batcher -> TPU -> response) and sustained
+throughput — for the ViT-B/16 bf16 engine exported as a bucketed bundle,
+under closed-loop concurrent clients posting single-image requests.
+Writes benchmarks/serving_host.json.
+
+Reading the numbers: per-request latency here includes one device->host
+logits fetch per BATCH plus the HTTP round trip; on this environment the
+axon tunnel's host-fetch RTT dominates at low concurrency (device time
+for a bs8 forward is ~1.8 ms, benchmarks/latency.json), so the latency
+rows are an upper bound — a host with local PCIe attachment sits well
+under them. The BATCHING results (fill, dispatches vs requests) are
+environment-independent: they pin that the micro-batcher turns N
+concurrent singles into N/bucket engine calls.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peekvit_tpu.inference import InferenceEngine
+from peekvit_tpu.models.registry import build_model
+from peekvit_tpu.serving import load_serving_bundle, save_bucketed_bundle
+from peekvit_tpu.serving_host import MicroBatcher, build_server
+
+B16 = dict(image_size=224, patch_size=16, num_layers=12, num_heads=12,
+           hidden_dim=768, mlp_dim=3072, num_classes=1000)
+BUCKETS = (1, 8, 64)
+LEVELS = (1, 8, 64)           # closed-loop concurrent clients
+REQS_PER_CLIENT = 30
+
+
+def _post(base, body):
+    req = urllib.request.Request(base + "/predict", data=body,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.read()
+
+
+def run_level(base, body, clients):
+    lats, errors = [], [0]
+    lock = threading.Lock()
+
+    def client():
+        mine, errs = [], 0
+        for _ in range(REQS_PER_CLIENT):
+            t0 = time.monotonic()
+            try:
+                _post(base, body)
+                mine.append(time.monotonic() - t0)
+            except Exception:  # count, keep the closed loop running
+                errs += 1
+        with lock:
+            lats.extend(mine)
+            errors[0] += errs
+
+    ts = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.monotonic()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.monotonic() - t0
+    lats = np.sort(np.asarray(lats))
+    n = len(lats)
+    return {
+        "clients": clients,
+        "requests": n,
+        "errors": errors[0],
+        "req_per_s": round(n / wall, 1),
+        "p50_ms": round(float(lats[n // 2]) * 1e3, 2),
+        "p99_ms": round(float(lats[int(n * 0.99) - 1]) * 1e3, 2),
+    }
+
+
+def main():
+    assert jax.default_backend() == "tpu", "serving load test needs the TPU"
+    bundle = "/tmp/serving_host_bench_bundle"
+    meta_ok = os.path.isfile(os.path.join(bundle, "meta.json"))
+    if not meta_ok:
+        model = build_model("vit", B16)
+        model.params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                                    model.params)
+        eng = InferenceEngine(model)
+        x = jax.random.normal(jax.random.key(0),
+                              (max(BUCKETS), 224, 224, 3), jnp.float32)
+        print("exporting bucketed bundle...", flush=True)
+        save_bucketed_bundle(eng, bundle, x, batch_sizes=BUCKETS)
+
+    mb = MicroBatcher(load_serving_bundle(bundle), max_delay_ms=5.0)
+    httpd = build_server(mb, port=0, timeout_s=300)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+
+    img = np.asarray(np.random.default_rng(0).normal(
+        size=(224, 224, 3)), np.float32)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    body = buf.getvalue()
+
+    # warm every bucket (first XLA compile per geometry)
+    for b in BUCKETS:
+        bb = io.BytesIO()
+        np.save(bb, np.repeat(img[None], b, 0))
+        _post(base, bb.getvalue())
+    print("warmed", flush=True)
+
+    out = {"buckets": list(BUCKETS), "max_delay_ms": 5.0,
+           "model": "vit_b16_bf16_engine", "levels": []}
+    for clients in LEVELS:
+        before = dict(mb.stats)
+        row = run_level(base, body, clients)
+        row["dispatches"] = mb.stats["batches"] - before["batches"]
+        row["avg_batch_fill"] = round(
+            row["requests"] / max(1, row["dispatches"]), 2)
+        out["levels"].append(row)
+        print(json.dumps(row), flush=True)
+
+    httpd.shutdown()
+    httpd.server_close()
+    mb.close()
+    with open(os.path.join(os.path.dirname(__file__),
+                           "serving_host.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

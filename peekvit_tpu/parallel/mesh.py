@@ -169,6 +169,12 @@ def zero1_optimizer_sharding(opt_state, mesh: Mesh):
     becomes the all-gather. Returns a pytree of ``NamedSharding`` with
     the same structure as ``opt_state`` (usable with ``jax.device_put``
     and as per-step ``with_sharding_constraint`` targets)."""
+    if DATA_AXIS not in mesh.shape:
+        raise ValueError(
+            f"zero1_optimizer_sharding shards over a '{DATA_AXIS}' mesh "
+            f"axis, but this mesh has axes {tuple(mesh.shape)} — ZeRO-1 "
+            "needs a data-parallel axis (use make_mesh/make_hybrid_mesh, "
+            "or disable training.zero_sharded_optimizer)")
     n = mesh.shape[DATA_AXIS]
 
     def spec(leaf):

@@ -140,6 +140,15 @@ def pipeline_forward_aux(
             "pipeline stages must preserve activation shape: "
             f"{xs_local[0].shape} -> {out_shape.shape}"
         )
+        # the dp out_spec below shards each aux leaf's LEADING dim (after
+        # the stacked (S, M) prefix) over data_axis — enforce the contract
+        # so a wrong layout fails at trace time, not as garbled masks
+        for leaf in jax.tree.leaves(aux_shape):
+            assert leaf.shape[:1] == xs_local.shape[1:2], (
+                "pipeline aux leaves must be batch-leading (the "
+                "within-microbatch batch, here "
+                f"{xs_local.shape[1]}); got leaf shape {leaf.shape}"
+            )
 
         # xs_local.shape[1] (not the closure's global mb): under dp x pp
         # the within-microbatch batch dim is sharded over data_axis

@@ -156,19 +156,21 @@ def pipelined_residualvit_forward(
                               gate_bias=gate_bias, budget_token=budget_token)
             act = _residual_block(lp, act, mask, s, num_heads)
             layer_masks.append(mask)
-        return act, jnp.stack(layer_masks)  # (lps, mb, N_img, 1)
+        # BATCH-LEADING (mb, lps, N_img, 1): pipeline_forward_aux's dp
+        # out_spec shards aux dim 2 (after the (S, M) prefix), so the
+        # within-microbatch batch must be the leaf's leading dim
+        return act, jnp.stack(layer_masks, axis=1)
 
     out, aux_stacked = pipeline_forward_aux(
         stage_fn, stage_params, tokens, mesh=mesh,
         num_microbatches=num_microbatches, axis=axis, data_axis=data_axis)
 
-    # aux_stacked: (S, M, lps, mb, N_img, 1) -> per-layer (B, N_img, 1)
-    S, M, lps = aux_stacked.shape[:3]
-    mb = aux_stacked.shape[3]
+    # aux_stacked: (S, M, mb, lps, N_img, 1) -> per-layer (B, N_img, 1)
+    S, M, mb, lps = aux_stacked.shape[:4]
     masks = {}
     for st in range(S):
         for j in range(lps):
-            masks[f"layer_{st * lps + j}"] = aux_stacked[st, :, j].reshape(
+            masks[f"layer_{st * lps + j}"] = aux_stacked[st, :, :, j].reshape(
                 M * mb, n_img, 1)
 
     from peekvit_tpu.inference import _classify

@@ -64,8 +64,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # v2 adds dead-leaf pruning ("dead": true param specs, absent from the
-# npz); v1 bundles (no pruning) load unchanged
-FORMAT_VERSION = 2
+# npz); v3 adds bucketed bundles with one SHARED params file (sub-bundle
+# meta carries "params_file"). v1/v2 bundles load unchanged.
+FORMAT_VERSION = 3
 _ENGINE_FILE = "engine.stablehlo"
 _PARAMS_FILE = "params.npz"
 _META_FILE = "meta.json"
@@ -97,16 +98,86 @@ def _unflatten(flat):
     return tree
 
 
-def save_serving_bundle(engine, path: str, sample_images,
-                        budget: Optional[float] = None) -> str:
-    """Export ``engine`` (an ``inference.InferenceEngine``) called on
-    ``sample_images``-shaped batches into a bundle directory at ``path``.
+def _engine_call_for_export(engine, budget, meta):
+    """Pick the traced callable + extra scalar operands for ``engine``,
+    filling ``meta``'s budget fields. Shared by the single and bucketed
+    exporters."""
+    if getattr(engine, "_residual", False):
+        meta["budget_mode"] = "traced"
+        meta["max_budget"] = 1.0
+        return engine._fn, (jnp.float32(1.0 if budget is None else budget),)
+    if getattr(engine, "_rank_layers", ()):
+        if getattr(engine, "_rank_max_budget", None) is not None:
+            meta["budget_mode"] = "traced"
+            meta["max_budget"] = float(engine._rank_max_budget)
+            return engine._fn, (jnp.float32(
+                engine._rank_max_budget if budget is None else budget),)
+        if budget is None:
+            raise ValueError(
+                "an exact-drop ranking engine compiles one geometry "
+                "per budget; pass budget= to export one bundle per "
+                "served budget (RankViT engines can instead be built "
+                "with max_budget= for a single traced-budget bundle)")
+        # build (or reuse) the per-budget jitted fn the engine itself
+        # would dispatch to, without running it
+        b = float(budget)
+        if b not in engine._rank_fns:
+            import functools
 
-    ``budget`` is REQUIRED for an exact-drop RankViT engine (each budget
-    is its own compiled geometry — one bundle per budget) and OPTIONAL
-    for padded (``max_budget=``) and ResidualViT engines, whose budget
-    is a traced scalar baked into one artifact.
+            from peekvit_tpu.inference import rankvit_forward_fused
+
+            fwd = getattr(engine, "_rank_fwd", rankvit_forward_fused)
+            engine._rank_fns[b] = engine._jit_noise(
+                functools.partial(fwd, budget=b, **engine._rank_common))
+        meta["budget_mode"] = "static"
+        meta["budget"] = b
+        return engine._rank_fns[b], ()
+    return engine._fn, ()
+
+
+def _export_pruned(engine, fn, x, extras):
+    """Trace + serialize one program; identify dead param leaves.
+
+    Dead-leaf pruning: the prepared tree carries redundant weight copies
+    by design (per-layer originals + _folded_* + _stacked_layers — the
+    live engine keeps all three so every dispatch path works), but the
+    TRACED program reads exactly one set. jax.export's
+    module_kept_var_idx says which flattened inputs the lowered module
+    actually consumes (indices over jax.tree.flatten of the call args,
+    params first); everything else is a dead argument whose VALUE never
+    matters — store only its aval and rebuild a zeros placeholder at
+    load (the wrapper's zeros are DCE'd with the dead argument before
+    execution). ViT-B/16 bf16: 443 MB -> ~180 MB on the one-call path.
     """
+    exported = jax.export.export(fn)(engine.params, x, *extras)
+    flat = _flatten(engine.params)
+    ordered = jax.tree.leaves(_unflatten({k: k for k in flat}))
+    kept = set(exported.module_kept_var_idx)
+    dead = {ordered[i] for i in range(len(ordered)) if i not in kept}
+    return exported.serialize(), flat, dead
+
+
+def _param_specs(flat, dead):
+    """meta['params'] entries from device leaves — dtype/shape only, no
+    host transfer (dead leaves' bytes are never fetched anywhere)."""
+    return {
+        k: {"dtype": str(v.dtype), "shape": list(v.shape),
+            **({"dead": True} if k in dead else {})}
+        for k, v in flat.items()
+    }
+
+
+def _write_params_npz(npz_path, flat, live_keys):
+    """Fetch ONLY the live leaves to host and write them (numpy cannot
+    natively round-trip bfloat16 — stored as raw bytes, dtype in meta)."""
+    raw = {k: np.ascontiguousarray(np.asarray(flat[k]))
+           for k in sorted(live_keys)}
+    np.savez(npz_path,
+             **{k: v.view(np.uint8).reshape(-1) if v.dtype.name == "bfloat16"
+                else v for k, v in raw.items()})
+
+
+def _check_exportable(engine):
     if getattr(engine, "_mesh", None) is not None:
         raise NotImplementedError(
             "serving bundles are single-device artifacts; export the "
@@ -116,7 +187,8 @@ def save_serving_bundle(engine, path: str, sample_images,
             "noise-sweep engines are an evaluation tool; build the "
             "engine from a model without noise_args to export it")
 
-    x = jnp.asarray(sample_images)
+
+def _base_meta(engine, x):
     meta = {
         "format_version": FORMAT_VERSION,
         "platform": jax.default_backend(),
@@ -129,74 +201,31 @@ def save_serving_bundle(engine, path: str, sample_images,
         # a whole-batch budget-token mean, so one image's outputs depend
         # on its batchmates — serving layers must not zero-pad batches
         meta["batch_coupled"] = True
-    if getattr(engine, "_residual", False):
-        fn = engine._fn
-        extras = (jnp.float32(1.0 if budget is None else budget),)
-        meta["budget_mode"] = "traced"
-        meta["max_budget"] = 1.0
-    elif getattr(engine, "_rank_layers", ()):
-        if getattr(engine, "_rank_max_budget", None) is not None:
-            fn = engine._fn
-            extras = (jnp.float32(engine._rank_max_budget
-                                  if budget is None else budget),)
-            meta["budget_mode"] = "traced"
-            meta["max_budget"] = float(engine._rank_max_budget)
-        else:
-            if budget is None:
-                raise ValueError(
-                    "an exact-drop ranking engine compiles one geometry "
-                    "per budget; pass budget= to export one bundle per "
-                    "served budget (RankViT engines can instead be built "
-                    "with max_budget= for a single traced-budget bundle)")
-            # build (or reuse) the per-budget jitted fn the engine itself
-            # would dispatch to, without running it
-            b = float(budget)
-            if b not in engine._rank_fns:
-                import functools
+    return meta
 
-                from peekvit_tpu.inference import rankvit_forward_fused
 
-                fwd = getattr(engine, "_rank_fwd", rankvit_forward_fused)
-                engine._rank_fns[b] = engine._jit_noise(
-                    functools.partial(fwd, budget=b, **engine._rank_common))
-            fn = engine._rank_fns[b]
-            extras = ()
-            meta["budget_mode"] = "static"
-            meta["budget"] = b
-    else:
-        fn = engine._fn
-        extras = ()
+def save_serving_bundle(engine, path: str, sample_images,
+                        budget: Optional[float] = None) -> str:
+    """Export ``engine`` (an ``inference.InferenceEngine``) called on
+    ``sample_images``-shaped batches into a bundle directory at ``path``.
 
-    exported = jax.export.export(fn)(engine.params, x, *extras)
-    blob = exported.serialize()
-
-    flat = _flatten(engine.params)
-    # Dead-leaf pruning: the prepared tree carries redundant weight
-    # copies by design (per-layer originals + _folded_* + _stacked_layers
-    # — the live engine keeps all three so every dispatch path works),
-    # but the TRACED program reads exactly one set. jax.export's
-    # module_kept_var_idx says which flattened inputs the lowered module
-    # actually consumes (indices over jax.tree.flatten of the call args,
-    # params first); everything else is a dead argument whose VALUE never
-    # matters — store only its aval and rebuild a zeros placeholder at
-    # load (the wrapper's zeros are DCE'd with the dead argument before
-    # execution). ViT-B/16 bf16: 443 MB -> ~180 MB on the one-call path.
-    ordered = jax.tree.leaves(_unflatten({k: k for k in flat}))
-    kept = set(exported.module_kept_var_idx)
-    dead = {ordered[i] for i in range(len(ordered)) if i not in kept}
-    raw = {k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()}
-    meta["params"] = {
-        k: {"dtype": str(v.dtype), "shape": list(v.shape),
-            **({"dead": True} if k in dead else {})}
-        for k, v in raw.items()
-    }
+    ``budget`` is REQUIRED for an exact-drop RankViT engine (each budget
+    is its own compiled geometry — one bundle per budget) and OPTIONAL
+    for padded (``max_budget=``) and ResidualViT engines, whose budget
+    is a traced scalar baked into one artifact.
+    """
+    _check_exportable(engine)
+    x = jnp.asarray(sample_images)
+    meta = _base_meta(engine, x)
+    fn, extras = _engine_call_for_export(engine, budget, meta)
+    blob, flat, dead = _export_pruned(engine, fn, x, extras)
+    meta["params"] = _param_specs(flat, dead)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _ENGINE_FILE), "wb") as f:
         f.write(blob)
-    np.savez(os.path.join(path, _PARAMS_FILE),
-             **{k: v.view(np.uint8).reshape(-1) if v.dtype.name == "bfloat16"
-                else v for k, v in raw.items() if k not in dead})
+    _write_params_npz(os.path.join(path, _PARAMS_FILE), flat,
+                      [k for k in flat if k not in dead])
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f, indent=1)
     return path
@@ -250,9 +279,12 @@ def _tile_batch(x, n: int):
 
 def save_bucketed_bundle(engine, path: str, sample_images,
                          batch_sizes, budget: Optional[float] = None) -> str:
-    """Export one bundle per batch-size BUCKET under ``path`` (engine
-    shapes are static — each bucket is its own traced program), plus a
-    top-level ``meta.json`` naming them. :func:`load_serving_bundle` on
+    """Export one traced program per batch-size BUCKET under ``path``
+    (engine shapes are static), sharing ONE ``params.npz`` (the prepared
+    tree is batch-size-independent; the stored set is the union of each
+    bucket's live leaves, fetched from device once). Each ``b{n}/``
+    sub-directory holds that bucket's StableHLO + meta; the top-level
+    ``meta.json`` names the buckets. :func:`load_serving_bundle` on
     ``path`` returns a :class:`BucketedServingEngine` that serves ANY
     batch size up to the largest bucket: inputs pad with zero rows to the
     smallest bucket that fits and outputs slice back. Inference math is
@@ -261,24 +293,46 @@ def save_bucketed_bundle(engine, path: str, sample_images,
     gate threshold) — those export fine but refuse padded calls: only
     exact bucket sizes serve (include bucket 1 to serve request-at-a-time).
     """
+    _check_exportable(engine)
     buckets = sorted(set(int(b) for b in batch_sizes))
     if not buckets or buckets[0] < 1:
         raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
     x = jnp.asarray(sample_images)
     os.makedirs(path, exist_ok=True)
+
+    # trace every bucket first: the live-leaf set differs per geometry
+    # (e.g. small batches dispatch the per-layer kernels, large ones the
+    # one-call stacked weights), so the shared npz stores the union
+    union_live, per_bucket, flat = set(), {}, None
+    sub_meta0 = None
     for n in buckets:
-        save_serving_bundle(engine, os.path.join(path, f"b{n}"),
-                            _tile_batch(x, n), budget=budget)
-    with open(os.path.join(path, f"b{buckets[0]}", _META_FILE)) as f:
-        sub = json.load(f)
+        xb = _tile_batch(x, n)
+        meta = _base_meta(engine, xb)
+        fn, extras = _engine_call_for_export(engine, budget, meta)
+        blob, flat, dead = _export_pruned(engine, fn, xb, extras)
+        meta["params"] = _param_specs(flat, dead)
+        meta["params_file"] = f"../{_PARAMS_FILE}"
+        per_bucket[n] = (blob, meta)
+        union_live |= {k for k in flat if k not in dead}
+        sub_meta0 = sub_meta0 or meta
+
+    _write_params_npz(os.path.join(path, _PARAMS_FILE), flat, union_live)
+    for n, (blob, meta) in per_bucket.items():
+        sub = os.path.join(path, f"b{n}")
+        os.makedirs(sub, exist_ok=True)
+        with open(os.path.join(sub, _ENGINE_FILE), "wb") as f:
+            f.write(blob)
+        with open(os.path.join(sub, _META_FILE), "w") as f:
+            json.dump(meta, f, indent=1)
+
     meta = {"format_version": FORMAT_VERSION, "buckets": buckets,
-            "platform": sub["platform"],
-            "image_shape": [buckets[-1]] + sub["image_shape"][1:],
-            "image_dtype": sub["image_dtype"],
-            "budget_mode": sub["budget_mode"]}
+            "platform": sub_meta0["platform"],
+            "image_shape": [buckets[-1]] + sub_meta0["image_shape"][1:],
+            "image_dtype": sub_meta0["image_dtype"],
+            "budget_mode": sub_meta0["budget_mode"]}
     for k in ("budget", "max_budget", "batch_coupled"):
-        if k in sub:
-            meta[k] = sub[k]
+        if k in sub_meta0:
+            meta[k] = sub_meta0[k]
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f, indent=1)
     return path
@@ -327,7 +381,7 @@ class BucketedServingEngine:
         return jax.tree.map(lambda v: v[:n], out) if bucket != n else out
 
 
-def load_serving_bundle(path: str):
+def load_serving_bundle(path: str, _cache: Optional[dict] = None):
     """Load a bundle saved by :func:`save_serving_bundle` (returns a
     :class:`ServingEngine`) or :func:`save_bucketed_bundle` (returns a
     :class:`BucketedServingEngine`). Needs jax + numpy only — no model
@@ -337,12 +391,15 @@ def load_serving_bundle(path: str):
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
     if "buckets" in meta:
-        engines = {n: load_serving_bundle(os.path.join(path, f"b{n}"))
+        # one device copy of each shared leaf across all buckets
+        cache = {}
+        engines = {n: load_serving_bundle(os.path.join(path, f"b{n}"),
+                                          _cache=cache)
                    for n in meta["buckets"]}
         return BucketedServingEngine(engines, meta)
-    if meta.get("format_version") not in (1, FORMAT_VERSION):
+    if meta.get("format_version") not in (1, 2, FORMAT_VERSION):
         raise ValueError(
-            f"bundle format {meta.get('format_version')} not in (1, "
+            f"bundle format {meta.get('format_version')} not in (1, 2, "
             f"{FORMAT_VERSION}) (this library)")
     if meta["platform"] != jax.default_backend():
         raise ValueError(
@@ -351,7 +408,8 @@ def load_serving_bundle(path: str):
             "platform-specifically — re-export on the serving platform)")
     with open(os.path.join(path, _ENGINE_FILE), "rb") as f:
         exported = jax.export.deserialize(f.read())
-    npz = np.load(os.path.join(path, _PARAMS_FILE))
+    # v3 bucketed sub-bundles share their parent's params file
+    npz = np.load(os.path.join(path, meta.get("params_file", _PARAMS_FILE)))
     flat, dead = {}, {}
     for key, spec in meta["params"].items():
         if spec.get("dead"):
@@ -360,10 +418,15 @@ def load_serving_bundle(path: str):
             # jitted wrapper and are DCE'd along with the dead argument.
             dead[key] = (tuple(spec["shape"]), spec["dtype"])
             continue
+        if _cache is not None and key in _cache:
+            flat[key] = _cache[key]
+            continue
         arr = npz[key]
         if spec["dtype"] == "bfloat16":
             arr = arr.view(ml_dtypes.bfloat16).reshape(spec["shape"])
         flat[key] = jnp.asarray(arr)
+        if _cache is not None:
+            _cache[key] = flat[key]
 
     if dead:
         def call(params, *rest):
@@ -400,19 +463,25 @@ def _main(argv=None):
                    help="wall-clock N calls after warmup")
     args = p.parse_args(argv)
 
+    def sync(out):
+        # scalar fetch, not block_until_ready: fetching a value always
+        # waits for the program, including on remote-transport backends
+        # where block_until_ready can be a no-op
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+        return out
+
     srv = load_serving_bundle(args.bundle)
     x = jnp.asarray(np.load(args.input))
-    out = srv(x, budget=args.budget)
+    out = sync(srv(x, budget=args.budget))
     leaves = jax.tree.leaves(out)
-    jax.block_until_ready(leaves)
     info = {"bundle": args.bundle,
             "outputs": [list(v.shape) for v in leaves],
             "budget_mode": srv.meta["budget_mode"]}
     if args.bench:
         t0 = time.time()
         for _ in range(args.bench):
-            jax.block_until_ready(jax.tree.leaves(
-                srv(x, budget=args.budget)))
+            sync(srv(x, budget=args.budget))
         dt = (time.time() - t0) / args.bench
         info["ms_per_batch"] = round(dt * 1000, 3)
         info["items_per_s"] = round(x.shape[0] / dt, 1)

@@ -63,19 +63,29 @@ class MicroBatcher:
     (``__call__(images, budget=)``, ``.meta``, ``.batch_sizes``).
     ``max_delay_ms`` bounds how long a request waits for batchmates once
     it is at the head of the queue; a full batch dispatches immediately.
+    ``max_queue_items`` is the overload bound: submits beyond it raise
+    RuntimeError (the HTTP layer answers 503) instead of growing an
+    unbounded backlog the engine can never drain. Requests whose Future
+    was cancelled (e.g. an HTTP caller timing out) are shed before
+    dispatch, so abandoned work never reaches the device.
     """
 
-    def __init__(self, engine, max_delay_ms: float = 5.0):
+    def __init__(self, engine, max_delay_ms: float = 5.0,
+                 max_queue_items: Optional[int] = None):
         self.engine = engine
         self._buckets = tuple(sorted(engine.batch_sizes))
         self._item_shape = tuple(engine.meta["image_shape"][1:])
         self._coupled = bool(engine.meta.get("batch_coupled"))
         self._max_delay = max_delay_ms / 1000.0
+        self._max_items = (8 * self._buckets[-1] if max_queue_items is None
+                           else int(max_queue_items))
         self._cv = threading.Condition()
         self._queue = []  # [(rows ndarray, budget, Future)]
+        self._queued_items = 0
         self._closed = False
         self.stats = {"requests": 0, "items": 0, "batches": 0,
-                      "padded_rows": 0, "errors": 0}
+                      "padded_rows": 0, "errors": 0, "shed": 0,
+                      "rejected": 0}
         self._thread = threading.Thread(
             target=self._loop, name="microbatcher", daemon=True)
         self._thread.start()
@@ -107,7 +117,13 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            if self._queued_items + x.shape[0] > self._max_items:
+                self.stats["rejected"] += 1
+                raise RuntimeError(
+                    f"overloaded: {self._queued_items} items queued "
+                    f"(max_queue_items={self._max_items}) — retry later")
             self._queue.append((x, budget, fut))
+            self._queued_items += x.shape[0]
             self.stats["requests"] += 1
             self.stats["items"] += x.shape[0]
             self._cv.notify_all()
@@ -136,11 +152,25 @@ class MicroBatcher:
             n += x.shape[0]
         return n, budget
 
+    def _shed_cancelled(self):
+        """Drop queue entries whose caller gave up (Future cancelled) so
+        abandoned work never reaches the device. Lock held by caller."""
+        keep = []
+        for entry in self._queue:
+            if entry[2].cancelled():
+                self.stats["shed"] += 1
+                self._queued_items -= entry[0].shape[0]
+            else:
+                keep.append(entry)
+        self._queue = keep
+
     def _loop(self):
         while True:
             with self._cv:
+                self._shed_cancelled()
                 while not self._queue and not self._closed:
                     self._cv.wait()
+                    self._shed_cancelled()
                 if not self._queue:
                     return  # closed and drained
                 # wait (bounded) for batchmates unless already full;
@@ -152,6 +182,11 @@ class MicroBatcher:
                     if n >= self._buckets[-1] or rem <= 0:
                         break
                     self._cv.wait(rem)
+                    self._shed_cancelled()
+                    if not self._queue:
+                        break
+                if not self._queue:
+                    continue
                 if self._coupled:
                     batch = [self._queue.pop(0)]
                     n = batch[0][0].shape[0]
@@ -163,6 +198,7 @@ class MicroBatcher:
                         item = self._queue.pop(0)
                         batch.append(item)
                         got += item[0].shape[0]
+                self._queued_items -= n
             self._dispatch(batch, n, budget)
 
     def _dispatch(self, batch, n, budget):
@@ -184,8 +220,9 @@ class MicroBatcher:
             off = 0
             for x, _, fut in batch:
                 k = x.shape[0]
-                fut.set_result(jax.tree.unflatten(
-                    treedef, [v[off:off + k] for v in leaves]))
+                if not fut.cancelled():  # caller may have timed out
+                    fut.set_result(jax.tree.unflatten(
+                        treedef, [v[off:off + k] for v in leaves]))
                 off += k
         except Exception as e:  # deliver, don't kill the dispatcher
             self.stats["errors"] += 1
@@ -195,12 +232,21 @@ class MicroBatcher:
 
 
 def build_server(batcher: MicroBatcher, port: int = 0,
-                 timeout_s: float = 60.0):
+                 timeout_s: float = 60.0, backlog: int = 128):
     """A ``ThreadingHTTPServer`` (bound to 127.0.0.1 — front it with a
     real proxy to expose it) serving ``POST /predict`` / ``GET /healthz``
     / ``GET /stats`` over ``batcher``. Caller runs ``serve_forever()``
-    (or ``handle_request()``) and ``server_close()``."""
+    (or ``handle_request()``) and ``server_close()``.
+
+    ``backlog`` raises socketserver's default listen queue of 5, which
+    resets connections under concurrent load. A request that times out
+    (no result in ``timeout_s``) answers 503 and CANCELS its queue entry
+    so the batcher sheds it; an overloaded batcher (queue cap) answers
+    503 immediately."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Server(ThreadingHTTPServer):
+        request_queue_size = backlog
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: stats are GET /stats
@@ -228,18 +274,24 @@ def build_server(batcher: MicroBatcher, port: int = 0,
             if self.path != "/predict":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
+            fut = None
             try:
                 size = int(self.headers.get("Content-Length", "0"))
                 arr = np.load(io.BytesIO(self.rfile.read(size)),
                               allow_pickle=False)
                 budget = self.headers.get("X-Budget")
-                out = batcher.predict(
-                    arr, budget=None if budget is None else float(budget),
-                    timeout=timeout_s)
+                fut = batcher.submit(
+                    arr, budget=None if budget is None else float(budget))
+                out = fut.result(timeout_s)
             except (ValueError, TypeError) as e:
                 self._json(400, {"error": str(e)})
                 return
+            except RuntimeError as e:  # queue cap / closed -> back off
+                self._json(503, {"error": str(e)})
+                return
             except TimeoutError:
+                if fut is not None:
+                    fut.cancel()  # shed: never run work nobody awaits
                 self._json(503, {"error": f"no result in {timeout_s}s"})
                 return
             except Exception as e:  # engine failure surfaced via Future
@@ -261,7 +313,7 @@ def build_server(batcher: MicroBatcher, port: int = 0,
             self.end_headers()
             self.wfile.write(body)
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return Server(("127.0.0.1", port), Handler)
 
 
 def _main(argv=None):

@@ -690,6 +690,63 @@ def test_parallel_residualvit_train_step_with_regularizers(mode):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_dp_pp_residualvit_forward_and_masks_match_linen():
+    """dp x pp composition for the GATED family: on a (data=2, stage=4)
+    mesh the per-layer gate masks reassemble with the batch dim sharded
+    correctly (regression: the aux out_spec shards the leaf dim right
+    after the (S, M) prefix over data — a non-batch-leading aux layout
+    silently garbled the masks that feed the regularizers)."""
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.parallel.residual import pipelined_residualvit_forward
+
+    model = _res_model()
+    x, _ = _data(8)
+    bvec = jnp.full((8,), 0.6, jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "stage"))
+    got, aux = pipelined_residualvit_forward(
+        model.params, x, bvec, mesh=mesh, num_microbatches=2, num_heads=2,
+        patch_size=8, gate_temp=model.module.gate_temp,
+        gate_bias=model.module.gate_bias, budget_token="learnable",
+        data_axis="data")
+    want, want_aux = model.apply_fn()(
+        model.params, x, jnp.float32(0.6), None, {}, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    assert set(aux["masks"]) == set(want_aux["masks"])
+    for k in aux["masks"]:
+        np.testing.assert_allclose(
+            np.asarray(aux["masks"][k]), np.asarray(want_aux["masks"][k]),
+            rtol=1e-4, atol=1e-5)
+
+
+def test_dp_pp_residualvit_train_step_with_regularizers():
+    """A gated ResidualViT trains on a dp x pp mesh WITH gate regularizers,
+    matching the single-device linen step (params to 1e-4) — the mask aux
+    crosses both the stage schedule and the data shards."""
+    from jax.sharding import Mesh
+
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "stage"))
+    t_single = Trainer(model=_res_model(), optimizer=SGD(lr=0.05),
+                       fused=False, loss_compose=_gate_losses())
+    t_par = Trainer(model=_res_model(), optimizer=SGD(lr=0.05), fused=False,
+                    loss_compose=_gate_losses(), mesh=mesh,
+                    pipeline_stages=4, pipeline_microbatches=2)
+    for i in range(2):
+        m_s = t_single.train_step(x, y, budget=0.6, step_idx=i)
+        m_p = t_par.train_step(x, y, budget=0.6, step_idx=i)
+        np.testing.assert_allclose(float(m_p["total_loss"]),
+                                   float(m_s["total_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_single.model.params),
+                    jax.tree.leaves(t_par.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_parallel_rejects_unsupported_residual_modes():
     m = build_model(
         "residualvit",

@@ -165,6 +165,31 @@ def test_microbatcher_rejects_bad_requests(plain_bundle):
         mb.submit(_x())
 
 
+def test_microbatcher_overload_cap_and_shedding(plain_bundle):
+    """Backpressure: submits beyond max_queue_items raise (HTTP 503), and
+    a cancelled Future (caller timed out) is shed before dispatch so
+    abandoned work never reaches the engine."""
+    import time
+
+    path, _ = plain_bundle
+    mb = MicroBatcher(load_serving_bundle(path), max_delay_ms=300.0,
+                      max_queue_items=2)
+    try:
+        f1 = mb.submit(_x(seed=0))
+        f2 = mb.submit(_x(seed=1))
+        with pytest.raises(RuntimeError, match="overloaded"):
+            mb.submit(_x(seed=2))
+        assert mb.stats["rejected"] == 1
+        assert f2.cancel()  # pending entry: caller gives up
+        assert f1.result(timeout=60).shape == (1, 7)
+        deadline = time.monotonic() + 30
+        while mb.stats["shed"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert mb.stats["shed"] == 1 and f2.cancelled()
+    finally:
+        mb.close()
+
+
 def _http(url, data=None, headers=None, method=None):
     req = urllib.request.Request(url, data=data, headers=headers or {},
                                  method=method)

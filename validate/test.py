@@ -274,7 +274,9 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                 else:
                     p = _export(bundle_dir)
                     print(f"exported serving bundle: {p}", flush=True)
-            except NotImplementedError as e:
+            except (NotImplementedError, ValueError) as e:
+                # export is best-effort: never lose the completed sweep's
+                # results to a deployment-packaging error
                 print(f"export_bundle: not exportable ({e})", flush=True)
 
     summary = {
