@@ -12,6 +12,7 @@ from peekvit_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    fsdp_param_sharding,
     make_hybrid_mesh,
     make_mesh,
     param_spec,
@@ -24,6 +25,7 @@ from peekvit_tpu.parallel.mesh import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "fsdp_param_sharding",
     "make_hybrid_mesh",
     "make_mesh",
     "param_spec",

@@ -155,6 +155,43 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _data_axis_spec(leaf, n: int) -> P:
+    """First dimension divisible by ``n`` shards over ``data``; scalars and
+    non-divisible leaves stay replicated."""
+    for axis, s in enumerate(getattr(leaf, "shape", ())):
+        if s >= n and s % n == 0:
+            return P(*([None] * axis + [DATA_AXIS]))
+    return P()
+
+
+def fsdp_param_sharding(params, mesh: Mesh):
+    """FSDP / ZeRO-3 placement for a PARAM pytree: every weight leaf is
+    sharded over the ``data`` axis on its first divisible dimension, so
+    each chip stores 1/n_data of the model (ViT-H/14: 2.5 GB of fp32
+    params -> ~320 MB on 8 chips, on top of the ZeRO-1 optimizer-state
+    saving).
+
+    XLA's SPMD partitioner derives the whole FSDP schedule from these
+    shardings alone: the forward/backward all-gathers each weight right
+    before its matmul (and discards the gathered copy after), gradients
+    come back reduce-scattered to the same shards, and the optimizer
+    update runs shard-local. No wrapper classes, no hooks — the sharding
+    annotation IS the strategy (How to Scale Your Model's recipe).
+
+    Returns a pytree of ``NamedSharding`` matching ``params`` (usable with
+    ``jax.device_put`` and as per-step ``with_sharding_constraint``
+    targets). Use with the linen train step: the Pallas fused path runs
+    inside a shard_map that requires replicated params.
+    """
+    if DATA_AXIS not in mesh.shape:
+        raise ValueError(
+            f"fsdp_param_sharding shards over a '{DATA_AXIS}' mesh axis, "
+            f"but this mesh has axes {tuple(mesh.shape)}")
+    n = mesh.shape[DATA_AXIS]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _data_axis_spec(leaf, n)), params)
+
+
 def zero1_optimizer_sharding(opt_state, mesh: Mesh):
     """ZeRO-1 placement for an optimizer-state pytree: every array leaf is
     sharded over the ``data`` axis on its first divisible dimension
@@ -176,12 +213,6 @@ def zero1_optimizer_sharding(opt_state, mesh: Mesh):
             "needs a data-parallel axis (use make_mesh/make_hybrid_mesh, "
             "or disable training.zero_sharded_optimizer)")
     n = mesh.shape[DATA_AXIS]
-
-    def spec(leaf):
-        for axis, s in enumerate(getattr(leaf, "shape", ())):
-            if s >= n and s % n == 0:
-                return NamedSharding(
-                    mesh, P(*([None] * axis + [DATA_AXIS])))
-        return NamedSharding(mesh, P())
-
-    return jax.tree.map(spec, opt_state)
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _data_axis_spec(leaf, n)),
+        opt_state)

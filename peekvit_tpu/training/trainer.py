@@ -102,6 +102,14 @@ class Trainer:
     # Requires mesh=; composes with the dp linen AND dp-fused steps (the
     # optimizer update runs outside the fused shard_map).
     zero_sharded_optimizer: bool = False
+    # FSDP / ZeRO-3: ALSO shard the params themselves over the data axis
+    # (parallel.fsdp_param_sharding) — 1/n_data of the model per chip; the
+    # forward/backward all-gathers each weight just-in-time and grads come
+    # back reduce-scattered, all derived by XLA from the shardings.
+    # Implies a sharded optimizer state. Requires mesh=; runs the LINEN
+    # step (the Pallas fused path's shard_map needs replicated params),
+    # so ``fused`` is coerced off.
+    fsdp_sharded_params: bool = False
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -126,13 +134,37 @@ class Trainer:
         self._eval_step = None
         self.output_format = getattr(self.model.module, "output_format", None)
         self._opt_shardings = None
+        self._param_shardings = None
+        if self.fsdp_sharded_params:
+            if self.mesh is None:
+                raise ValueError(
+                    "fsdp_sharded_params requires mesh= (params shard over "
+                    "the mesh's data axis)")
+            if (self.pipeline_stages and self.pipeline_stages > 1) or (
+                    self.sequence_parallel_devices
+                    and self.sequence_parallel_devices > 1):
+                raise NotImplementedError(
+                    "fsdp_sharded_params composes with the dp linen step; "
+                    "pipeline/sequence-parallel modes own their param "
+                    "placement")
+            # The fused path's shard_map replicates params per data shard —
+            # incompatible with FSDP's whole point; force the linen step,
+            # where XLA derives the gather/reduce-scatter schedule.
+            self.fused = False
         if self.mesh is not None:
-            from peekvit_tpu.parallel import (replicated_sharding,
+            from peekvit_tpu.parallel import (fsdp_param_sharding,
+                                              replicated_sharding,
                                               shard_params,
                                               zero1_optimizer_sharding)
 
-            self.model.params = shard_params(self.model.params, self.mesh)
-            if self.zero_sharded_optimizer:
+            if self.fsdp_sharded_params:
+                self._param_shardings = fsdp_param_sharding(
+                    self.model.params, self.mesh)
+                self.model.params = jax.device_put(
+                    self.model.params, self._param_shardings)
+            else:
+                self.model.params = shard_params(self.model.params, self.mesh)
+            if self.zero_sharded_optimizer or self.fsdp_sharded_params:
                 self._opt_shardings = zero1_optimizer_sharding(
                     self.opt_state, self.mesh)
                 self.opt_state = jax.device_put(
@@ -202,6 +234,7 @@ class Trainer:
         recon_w = self.reconstruction_weight
         ee_w = self.ee_weights
         opt_shardings = self._opt_shardings
+        param_shardings = self._param_shardings
 
         def loss_fn(params, x, y, budget, noise_value, rngs):
             out, aux = apply_fn(params, x, budget, noise_value, rngs, train=True)
@@ -247,6 +280,9 @@ class Trainer:
             if opt_shardings is not None:  # pin the ZeRO-1 layout step-over-step
                 opt_state = jax.tree.map(jax.lax.with_sharding_constraint,
                                          opt_state, opt_shardings)
+            if param_shardings is not None:  # pin the FSDP param layout
+                params = jax.tree.map(jax.lax.with_sharding_constraint,
+                                      params, param_shardings)
             return params, opt_state, metrics
 
         return jax.jit(step, donate_argnums=(0, 1))

@@ -1037,3 +1037,84 @@ def test_sp_grad_accumulation_matches_big_batch():
     for a, b in zip(jax.tree.leaves(p_big), jax.tree.leaves(p_acc)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_fsdp_linen_dp_matches_replicated():
+    """FSDP/ZeRO-3 (fsdp_sharded_params): params shard over the data axis
+    and XLA derives the gather/reduce-scatter schedule from the shardings
+    alone — results match the replicated dp step; the layout survives the
+    step (with_sharding_constraint pins it). SGD for exact-ish parity
+    (same fp-reassociation caveat as ZeRO-1)."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data()
+    mesh = make_mesh(n_data=8, n_model=1)
+    t_rep = Trainer(model=_model(), optimizer=SGD(lr=0.05), mesh=mesh,
+                    fused=False)
+    t_f = Trainer(model=_model(), optimizer=SGD(lr=0.05), mesh=mesh,
+                  fsdp_sharded_params=True)
+    assert t_f.fused is False  # fused path coerced off (needs replicated)
+    # params sharded at init: every divisible leaf carries the data axis
+    assert _opt_sharded_fraction(t_f.model.params) > 0.9
+    xd, yd = shard_batch(x, mesh), shard_batch(y, mesh)
+    for i in range(2):
+        t_rep.train_step(xd, yd, step_idx=i)
+        t_f.train_step(xd, yd, step_idx=i)
+    # still sharded after the steps
+    assert _opt_sharded_fraction(t_f.model.params) > 0.9
+    for a, b in zip(jax.tree.leaves(t_rep.model.params),
+                    jax.tree.leaves(t_f.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    # adam: FSDP implies the sharded optimizer state (ZeRO-3 = params +
+    # moments sharded), without setting zero_sharded_optimizer
+    t_a = Trainer(model=_model(), optimizer=Adam(lr=1e-2), mesh=mesh,
+                  fsdp_sharded_params=True)
+    assert _opt_sharded_fraction(t_a.opt_state) > 0.9
+    t_a.train_step(xd, yd, step_idx=0)
+    assert _opt_sharded_fraction(t_a.opt_state) > 0.9
+    assert _opt_sharded_fraction(t_a.model.params) > 0.9
+
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(model=_model(), optimizer=Adam(lr=1e-2),
+                fsdp_sharded_params=True)
+    with pytest.raises(NotImplementedError, match="pipeline"):
+        Trainer(model=_model(), optimizer=Adam(lr=1e-2), mesh=mesh,
+                fsdp_sharded_params=True, pipeline_stages=4)
+
+
+def test_fsdp_gated_residualvit_with_regularizers():
+    """FSDP runs the full linen step: the gated ResidualViT with a
+    sparsity regularizer trains under fsdp_sharded_params with the same
+    loss as the replicated dp step."""
+    from peekvit_tpu.training.optim import SGD
+    from peekvit_tpu.utils.losses import LossCompose
+
+    res_args = dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+                    hidden_dim=32, mlp_dim=64, num_classes=10,
+                    residual_layers=["attention+mlp"] * 2,
+                    gate_type="sigmoid", add_budget_token="learnable")
+    losses = {"sparsity": {
+        "_target_": "peekvit_tpu.utils.losses.SparsityLoss",
+        "weight": 0.2, "sparsity_type": "l1"}}
+    x, y = _data()
+    mesh = make_mesh(n_data=8, n_model=1)
+    xd, yd = shard_batch(x, mesh), shard_batch(y, mesh)
+
+    def run(**kw):
+        t = Trainer(model=build_model("residualvit", res_args, seed=3),
+                    optimizer=SGD(lr=0.05), mesh=mesh, fused=False,
+                    loss_compose=LossCompose(losses), **kw)
+        m = t.train_step(xd, yd, budget=0.6, step_idx=0)
+        return t, m
+
+    t_rep, m_rep = run()
+    t_f, m_f = run(fsdp_sharded_params=True)
+    assert "sparsity" in m_f
+    np.testing.assert_allclose(float(m_f["total_loss"]),
+                               float(m_rep["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_rep.model.params),
+                    jax.tree.leaves(t_f.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

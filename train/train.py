@@ -160,6 +160,8 @@ def train(cfg) -> dict:
         grad_accumulation=int(tr.get("grad_accumulation") or 1),
         zero_sharded_optimizer=bool(tr.get("zero_sharded_optimizer"))
         and mesh is not None,
+        fsdp_sharded_params=bool(tr.get("fsdp_sharded_params"))
+        and mesh is not None,
     )
 
     train_budget = tr.get("train_budget")
