@@ -2210,6 +2210,26 @@ class InferenceEngine:
             self._residual
             and getattr(module, "add_budget_token", False)
             not in (False, None, "learnable"))
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # TENSOR-PARALLEL serving (parallel/tp_serving.py): a mesh
+            # with a model axis > 1 splits one forward's compute across
+            # chips (head-sharded attention + Megatron MLP partial
+            # kernels, one psum per sublayer) — the latency analogue of
+            # the data-parallel throughput path below. Composes with dp:
+            # the data axis still shards the batch.
+            if (type(module).__name__ != "VisionTransformer" or quantized
+                    or max_budget is not None or self._noise is not None
+                    or ee_outputs or recon_outputs):
+                raise NotImplementedError(
+                    "tensor-parallel serving (mesh model axis > 1) covers "
+                    "the plain bf16 VisionTransformer engine; serve other "
+                    "families / modes data-parallel (make_mesh(n_model=1))")
+            from peekvit_tpu.parallel.tp_serving import tp_serving_engine
+
+            self.params, self._fn = tp_serving_engine(
+                model, mesh, compute_dtype=compute_dtype,
+                interpret=interpret)
+            return
         if type(module).__name__ == "AdaptiveVisionTransformer":
             if quantized or max_budget is not None:
                 raise NotImplementedError(

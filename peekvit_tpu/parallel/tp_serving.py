@@ -1,0 +1,209 @@
+"""Tensor-parallel SERVING for the plain-ViT engine family.
+
+Completes the parallelism matrix on the inference side: the engines'
+data-parallel shard_map (inference.py ``InferenceEngine._jit``) scales
+throughput, this module scales LATENCY — one forward's compute split
+over the mesh's ``model`` axis, the Megatron way (head-sharded
+attention, column/row-sharded MLP; one psum per sublayer riding ICI).
+The reference has no parallelism of any kind (SURVEY.md §2 inventory;
+/root/reference/train/train.py:61 ``model.to(device)``).
+
+Design: Pallas calls are not GSPMD-partitionable, so the schedule is
+explicit — ``shard_map`` over a (data, model) mesh where each model
+shard holds its slice of every layer's weights (leading shard axis,
+``P(MODEL_AXIS)``) and runs the PARTIAL sublayer kernels
+(ops/pallas/tp_blocks.py) on the replicated token stream; ``lax.psum``
+completes each sublayer and bias + residual are added once, in fp32,
+after the reduction. Embed and classify are token-cheap and run
+replicated on every model shard (re-computing them is faster than
+gathering). The batch axis composes: images arrive ``P(DATA_AXIS)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from peekvit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def prepare_tp_serving_params(params, n_model: int, num_heads: int,
+                              compute_dtype=jnp.bfloat16):
+    """Slice a plain-ViT param tree into Megatron serving shards.
+
+    Runs the engine's build-time preparation first (fp32->compute-dtype
+    cast, (1, k) bias pre-shaping, LN/pos folding — inference.py
+    ``prepare_engine_params(fold_ln=True)``), then slices every layer:
+
+    - folded qkv (D, 3D) -> per-shard (D, 3*dl) blocks ``[q_s|k_s|v_s]``
+      where dl = D/n_model covers that shard's heads (head-major packing
+      means a shard's q/k/v slices are contiguous columns);
+    - out-proj (D, D) -> (dl, D) row slices (row-parallel);
+    - folded fc1 (D, M) + bias -> (D, M/n_model) column slices;
+    - fc2 (M, D) -> (M/n_model, D) row slices.
+
+    Returns ``{"shared": ..., "tp": ...}``: ``shared`` carries the embed
+    constants, per-layer out-proj/fc2 biases stacked (L, 1, D) (added
+    once, post-psum), the final LN and the head — replicated; ``tp``
+    carries the weight slices stacked with a LEADING SHARD AXIS
+    ((S, L, ...)) so a plain ``P(MODEL_AXIS)`` in_spec distributes them.
+    """
+    from peekvit_tpu.inference import _layer_ids, prepare_engine_params
+
+    if n_model < 2:
+        raise ValueError(f"tensor-parallel serving needs n_model >= 2 "
+                         f"(got {n_model}); use the data-parallel engine")
+    if num_heads % n_model:
+        raise ValueError(
+            f"num_heads={num_heads} must be divisible by the model-axis "
+            f"size {n_model} (head-sharded attention)")
+    prep = prepare_engine_params(params, compute_dtype, fold_ln=True)
+    enc = prep["encoder"]
+    ids = _layer_ids(enc)
+    d = prep["conv_proj"]["kernel"].shape[-1]
+    mlp_dim = enc[f"layers_{ids[0]}"]["mlp"]["fc2_kernel"].shape[0]
+    if mlp_dim % n_model:
+        raise ValueError(
+            f"mlp_dim={mlp_dim} must be divisible by the model-axis "
+            f"size {n_model} (column-parallel fc1)")
+    dl, ml = d // n_model, mlp_dim // n_model
+
+    wqkv, bqkv, wo, w1, b1, w2, bo, b2 = ([] for _ in range(8))
+    for i in ids:
+        lp = enc[f"layers_{i}"]
+        fq, f1 = lp["_folded_qkv"], lp["_folded_fc1"]
+        at, mlp = lp["self_attention"], lp["mlp"]
+        wq, bq = fq["kernel"], fq["bias"]
+        wqkv.append(jnp.stack([
+            jnp.concatenate(
+                [wq[:, c * d + s * dl:c * d + (s + 1) * dl]
+                 for c in range(3)], axis=1)
+            for s in range(n_model)]))
+        bqkv.append(jnp.stack([
+            jnp.concatenate(
+                [bq[:, c * d + s * dl:c * d + (s + 1) * dl]
+                 for c in range(3)], axis=1)
+            for s in range(n_model)]))
+        wo.append(jnp.stack(jnp.split(at["out_proj_kernel"], n_model,
+                                      axis=0)))
+        w1.append(jnp.stack(jnp.split(f1["kernel"], n_model, axis=1)))
+        b1.append(jnp.stack(jnp.split(f1["bias"], n_model, axis=1)))
+        w2.append(jnp.stack(jnp.split(mlp["fc2_kernel"], n_model, axis=0)))
+        bo.append(at["out_proj_bias"])
+        b2.append(mlp["fc2_bias"])
+
+    stack_l = lambda xs: jnp.stack(xs, axis=1)  # noqa: E731 — (S, L, ...)
+    tp = {"wqkv": stack_l(wqkv), "bqkv": stack_l(bqkv), "wo": stack_l(wo),
+          "w1": stack_l(w1), "b1": stack_l(b1), "w2": stack_l(w2)}
+    shared = {
+        "conv_proj": prep["conv_proj"],
+        "_embed_special": prep["_embed_special"],
+        "_embed_img_bias": prep["_embed_img_bias"],
+        "encoder": {"ln": enc["ln"]},
+        "head": prep["head"],
+        "bo": jnp.stack(bo),  # (L, 1, D)
+        "b2": jnp.stack(b2),
+    }
+    return {"shared": shared, "tp": tp}
+
+
+def place_tp_serving_params(prepared, mesh):
+    """Device-put the prepared tree: tp slices sharded over the model
+    axis (each chip holds 1/n_model of every layer), shared replicated."""
+    tp_sh = NamedSharding(mesh, P(MODEL_AXIS))
+    rep = NamedSharding(mesh, P())
+    return {
+        "shared": jax.tree.map(lambda x: jax.device_put(x, rep),
+                               prepared["shared"]),
+        "tp": jax.tree.map(lambda x: jax.device_put(x, tp_sh),
+                           prepared["tp"]),
+    }
+
+
+def make_tp_vit_forward(mesh, *, num_heads: int, patch_size: int,
+                        num_class_tokens: int = 1, ln_eps: float = 1e-5,
+                        compute_dtype=jnp.bfloat16, interpret: bool = False,
+                        images_per_cell: int = 1):
+    """Build the jittable TP serving forward: (prepared, images) -> logits.
+
+    The returned fn is a ``shard_map`` over the full (data, model) mesh:
+    images split over ``data``, weight slices over ``model``, logits
+    assembled over ``data`` (replicated over ``model`` — every model
+    shard finishes with identical post-psum activations).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from peekvit_tpu.inference import _classify, _embed_posfolded
+    from peekvit_tpu.ops.pallas.tp_blocks import (
+        tp_attention_partial,
+        tp_mlp_partial,
+    )
+
+    n_model = mesh.shape[MODEL_AXIS]
+    heads_local = num_heads // n_model
+    cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+
+    def shard_fn(prepared, images):
+        shared, tp = prepared["shared"], prepared["tp"]
+        tokens, _ = _embed_posfolded(shared, images, patch_size, cast)
+        num_layers = shared["bo"].shape[0]
+        for l in range(num_layers):
+            pa = tp_attention_partial(
+                tokens, tp["wqkv"][0, l], tp["bqkv"][0, l], tp["wo"][0, l],
+                heads_local, ln_eps, interpret, images_per_cell)
+            pa = jax.lax.psum(pa, MODEL_AXIS)
+            tokens = (tokens.astype(jnp.float32) + pa
+                      + shared["bo"][l].astype(jnp.float32)).astype(
+                          compute_dtype)
+            pm = tp_mlp_partial(
+                tokens, tp["w1"][0, l], tp["b1"][0, l], tp["w2"][0, l],
+                ln_eps, interpret, images_per_cell)
+            pm = jax.lax.psum(pm, MODEL_AXIS)
+            tokens = (tokens.astype(jnp.float32) + pm
+                      + shared["b2"][l].astype(jnp.float32)).astype(
+                          compute_dtype)
+        return _classify(shared, tokens, num_class_tokens, cast, ln_eps)
+
+    in_specs = ({"shared": P(), "tp": P(MODEL_AXIS)}, P(DATA_AXIS))
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(DATA_AXIS),
+        check_rep=False,
+    ))
+
+
+def tp_serving_engine(model, mesh, *, compute_dtype=jnp.bfloat16,
+                      interpret: Optional[bool] = None,
+                      images_per_cell: int = 1):
+    """(prepared_params, jitted_fn) for TP serving of a built plain ViT.
+
+    Used by ``InferenceEngine`` when its mesh carries a model axis > 1;
+    exposed for direct use. Batch must divide the mesh's data-axis size.
+    """
+    module = model.module
+    if type(module).__name__ != "VisionTransformer":
+        raise NotImplementedError(
+            "tensor-parallel serving covers the plain VisionTransformer "
+            "engine; serve other families data-parallel (mesh with "
+            "model axis 1) — their gate/rank/ACT control flow is "
+            "batch-cheap, not compute-bound, so TP buys them nothing")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if DATA_AXIS not in mesh.shape or MODEL_AXIS not in mesh.shape:
+        raise ValueError(
+            f"tensor-parallel serving needs a ({DATA_AXIS}, {MODEL_AXIS}) "
+            f"mesh (parallel.make_mesh / make_hybrid_mesh); got axes "
+            f"{tuple(mesh.shape)}")
+    n_model = mesh.shape[MODEL_AXIS]
+    prepared = prepare_tp_serving_params(
+        model.params, n_model, module.num_heads, compute_dtype)
+    prepared = place_tp_serving_params(prepared, mesh)
+    fn = make_tp_vit_forward(
+        mesh, num_heads=module.num_heads, patch_size=module.patch_size,
+        num_class_tokens=getattr(module, "num_class_tokens", 1),
+        compute_dtype=compute_dtype, interpret=interpret,
+        images_per_cell=images_per_cell)
+    return prepared, fn

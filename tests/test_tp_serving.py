@@ -1,0 +1,160 @@
+"""Tensor-parallel serving (parallel/tp_serving.py): the Megatron
+head/column-sharded engine forward over a (data, model) mesh must match
+the single-device fused engine and the linen forward on the virtual
+8-CPU mesh (interpret-mode Pallas partial kernels inside shard_map)."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from peekvit_tpu.inference import InferenceEngine
+from peekvit_tpu.models.registry import build_model
+from peekvit_tpu.parallel import make_mesh
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+for _sub in ("train", "validate"):
+    _p = os.path.join(REPO, _sub)
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+
+VIT_ARGS = dict(image_size=32, patch_size=8, num_layers=3, num_heads=4,
+                hidden_dim=64, mlp_dim=128, num_classes=7)
+
+
+def _vit(seed=91):
+    model = build_model("vit", VIT_ARGS, seed=seed)
+    # non-degenerate head so logits spread
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(seed + 1), model.params["head"]["kernel"].shape)
+    return model
+
+
+def _images(batch=4, seed=7):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(batch, 32, 32, 3)), jnp.float32)
+
+
+def test_tp_engine_matches_single_device_engine():
+    """dp x tp mesh (2, 4): logits match the single-device fused engine
+    (same folded math, different reduction split) to fp32 tolerance."""
+    model = _vit()
+    x = _images(4)
+    single = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    tp = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                         mesh=make_mesh(n_data=2, n_model=4))
+    np.testing.assert_allclose(np.asarray(tp(x)), np.asarray(single(x)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_engine_matches_linen():
+    """Pure-TP mesh (1, 4) vs the linen fp32 forward (erf vs in-kernel
+    tanh gelu bounds the tolerance, same as the other engine tests)."""
+    model = _vit(seed=95)
+    x = _images(2, seed=9)
+    want, _ = model.apply_fn()(model.params, x, None, None, {}, train=False)
+    tp = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                         mesh=make_mesh(n_data=1, n_model=4))
+    np.testing.assert_allclose(np.asarray(tp(x)), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_tp_engine_guards():
+    mesh = make_mesh(n_data=2, n_model=4)
+
+    # batch must divide the data axis
+    model = _vit(seed=97)
+    tp = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                         mesh=mesh)
+    with pytest.raises(ValueError, match="divide the mesh"):
+        tp(_images(3))
+
+    # heads must divide over the model axis
+    bad_heads = build_model("vit", dict(VIT_ARGS, num_heads=2), seed=98)
+    with pytest.raises(ValueError, match="num_heads"):
+        InferenceEngine(bad_heads, compute_dtype=jnp.float32,
+                        interpret=True, mesh=mesh)
+
+    # non-plain-ViT families refuse the model axis with a clear pointer
+    res = build_model(
+        "residualvit",
+        dict(VIT_ARGS, residual_layers=["attention+mlp"] * 3,
+             gate_type="sigmoid", add_budget_token="learnable"),
+        seed=99,
+    )
+    with pytest.raises(NotImplementedError, match="data-parallel"):
+        InferenceEngine(res, compute_dtype=jnp.float32, interpret=True,
+                        mesh=mesh)
+
+
+def test_tp_eval_entry_knob(tmp_path):
+    """`test.tensor_parallel_devices=2` serves the eval sweep through the
+    TP engine (validate/test.py) — accuracy keys come back sane."""
+    from train import main as train_main
+
+    res = train_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.train_size=32", "dataset.val_size=24",
+        "training.train_batch_size=16", "training.eval_batch_size=8",
+        "training.num_epochs=1", "training.eval_every=1",
+        "training.checkpoint_every=1", "training.num_workers=0",
+        "model.patch_size=8", "model.num_layers=2", "model.hidden_dim=32",
+        "model.mlp_dim=64", "model.num_heads=2",
+    ])[0]
+    from test import main as test_main
+
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.tensor_parallel_devices=2", "test.skip_flops_count=true",
+    ])
+    summary = results[res["experiment_dir"]]
+    accs = [a for r in summary["results_per_budget"].values()
+            for a in r.values()]
+    assert accs and all(0.0 <= a <= 1.0 for a in accs)
+
+
+def test_tp_param_slices_cover_whole_model():
+    """Slicing invariant: re-assembling the per-shard slices reproduces
+    the folded single-device weights exactly (no head/column lost)."""
+    from peekvit_tpu.inference import prepare_engine_params
+    from peekvit_tpu.parallel.tp_serving import prepare_tp_serving_params
+
+    model = _vit(seed=101)
+    n_model = 4
+    prep = prepare_engine_params(model.params, jnp.float32, fold_ln=True)
+    tp = prepare_tp_serving_params(model.params, n_model, 4, jnp.float32)
+    d = 64
+    dl = d // n_model
+    for li, key in enumerate(sorted(
+            k for k in prep["encoder"] if k.startswith("layers_"))):
+        lp = prep["encoder"][key]
+        # qkv: shard s carries [q_s | k_s | v_s]
+        wq = np.asarray(lp["_folded_qkv"]["kernel"])
+        got = np.concatenate(
+            [np.concatenate(
+                [np.asarray(tp["tp"]["wqkv"][s, li])[:, c * dl:(c + 1) * dl]
+                 for s in range(n_model)], axis=1)
+             for c in range(3)], axis=1)
+        np.testing.assert_array_equal(got, wq)
+        wo = np.concatenate(
+            [np.asarray(tp["tp"]["wo"][s, li]) for s in range(n_model)],
+            axis=0)
+        np.testing.assert_array_equal(
+            wo, np.asarray(lp["self_attention"]["out_proj_kernel"]))
+        w1 = np.concatenate(
+            [np.asarray(tp["tp"]["w1"][s, li]) for s in range(n_model)],
+            axis=1)
+        np.testing.assert_array_equal(
+            w1, np.asarray(lp["_folded_fc1"]["kernel"]))
+        w2 = np.concatenate(
+            [np.asarray(tp["tp"]["w2"][s, li]) for s in range(n_model)],
+            axis=0)
+        np.testing.assert_array_equal(
+            w2, np.asarray(lp["mlp"]["fc2_kernel"]))

@@ -98,6 +98,15 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                     if sum(x.shape[0] for x in xs) >= n_calib:
                         break
                 calib = jnp.concatenate(xs)[:n_calib]
+            # test.tensor_parallel_devices=N: serve TENSOR-parallel over
+            # an (all/N, N) mesh — one forward split across N chips
+            # (parallel/tp_serving.py); bf16 plain ViT only
+            mesh = None
+            tp_n = int(tcfg.get("tensor_parallel_devices", 0) or 0)
+            if tp_n > 1:
+                from peekvit_tpu.parallel import make_mesh
+
+                mesh = make_mesh(n_model=tp_n)
             engine = InferenceEngine(
                 model,
                 quantized=tcfg.get("quantized", False),
@@ -106,6 +115,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                 calib_percentile=float(tcfg.get("calib_percentile", 99.9)),
                 calib_static_caps=bool(tcfg.get("calib_static_caps",
                                                 False)),
+                mesh=mesh,
             )
             print("eval path: fused InferenceEngine"
                   + (" (int8 w8a8)" if tcfg.get("quantized") else "")
