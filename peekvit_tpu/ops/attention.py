@@ -105,18 +105,21 @@ def multi_head_attention(
     # (not merely dropout_rate == 0.0): training forwards always take the
     # differentiable XLA path (or the custom-VJP kernel via the fused
     # training blocks in ops/pallas/fused_attention_vjp.py).
+    # QAT hook (ops/fake_quant.py): identity unless this forward is traced
+    # under ``with fake_quant(True)`` — then the qkv and out-proj matmuls
+    # see int8-grid fake-quantized operands (STE), matching the engine's
+    # quantization points (inference.vit_forward_quant).
+    from peekvit_tpu.ops.fake_quant import maybe_fq
+
     if _ATTENTION_IMPL == "pallas" and key_mask is None and deterministic:
         from peekvit_tpu.ops.pallas.fused_attention import fused_mhsa
 
-        qkv = (
-            jnp.einsum("bnd,de->bne", x, params["in_proj"]["kernel"])
-            + params["in_proj"]["bias"]
-        )
+        xq, wq = maybe_fq(x, params["in_proj"]["kernel"])
+        qkv = jnp.einsum("bnd,de->bne", xq, wq) + params["in_proj"]["bias"]
         out = fused_mhsa(qkv, num_heads, jax.default_backend() != "tpu")
     else:
-        q, k, v = qkv_projection(
-            x, params["in_proj"]["kernel"], params["in_proj"]["bias"]
-        )
+        xq, wq = maybe_fq(x, params["in_proj"]["kernel"])
+        q, k, v = qkv_projection(xq, wq, params["in_proj"]["bias"])
         out = attention_core(
             q,
             k,
@@ -127,10 +130,8 @@ def multi_head_attention(
             deterministic=deterministic,
             dropout_rng=dropout_rng,
         )
-    return (
-        jnp.einsum("bnd,de->bne", out, params["out_proj"]["kernel"])
-        + params["out_proj"]["bias"]
-    )
+    oq, wo = maybe_fq(out, params["out_proj"]["kernel"])
+    return jnp.einsum("bnd,de->bne", oq, wo) + params["out_proj"]["bias"]
 
 
 class SelfAttention(nn.Module):

@@ -13,10 +13,18 @@ from flax import linen as nn
 
 
 def mlp_forward(x: jax.Array, params: dict) -> jax.Array:
-    """params: {'fc1': {'kernel','bias'}, 'fc2': {'kernel','bias'}}."""
-    h = jnp.einsum("...d,de->...e", x, params["fc1"]["kernel"]) + params["fc1"]["bias"]
+    """params: {'fc1': {'kernel','bias'}, 'fc2': {'kernel','bias'}}.
+
+    ``maybe_fq`` is the QAT hook (ops/fake_quant.py): identity unless the
+    Trainer traced this forward under ``with fake_quant(True)``, in which
+    case both matmuls see int8-grid fake-quantized operands (STE)."""
+    from peekvit_tpu.ops.fake_quant import maybe_fq
+
+    x1, w1 = maybe_fq(x, params["fc1"]["kernel"])
+    h = jnp.einsum("...d,de->...e", x1, w1) + params["fc1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
-    return jnp.einsum("...e,ed->...d", h, params["fc2"]["kernel"]) + params["fc2"]["bias"]
+    h2, w2 = maybe_fq(h, params["fc2"]["kernel"])
+    return jnp.einsum("...e,ed->...d", h2, w2) + params["fc2"]["bias"]
 
 
 class MLP(nn.Module):

@@ -110,6 +110,25 @@ class Trainer:
     # step (the Pallas fused path's shard_map needs replicated params),
     # so ``fused`` is coerced off.
     fsdp_sharded_params: bool = False
+    # Quantization-aware training (ops/fake_quant.py): the linen forward's
+    # qkv/out-proj/fc1/fc2 matmuls see int8-grid fake-quantized operands
+    # (the EXACT engine grid: per-column weights, per-token dynamic
+    # activations) with straight-through gradients, so the fine-tuned
+    # weights tolerate the rounding the int8 serving engine later commits
+    # for real. Runs the linen step (the Pallas fused/parallel kernels
+    # carry no fake-quant hooks — ``fused`` is coerced off); the eval step
+    # fake-quantizes too, so per-budget val accuracy during QAT tracks the
+    # metric that matters: the quantized model's.
+    qat: bool = False
+    # Tensor-parallel TRAINING: shard the attention/MLP weights over the
+    # mesh's ``model`` axis by the Megatron column/row rules
+    # (parallel.shard_params(tensor_parallel=True); MoE expert stacks
+    # shard their leading expert axis — expert parallelism). XLA's
+    # partitioner inserts the per-block psums from the shardings alone;
+    # composes with dp over the ``data`` axis of the same mesh. Runs the
+    # linen step (the Pallas fused path's shard_map needs replicated
+    # params — ``fused`` is coerced off).
+    tensor_parallel: bool = False
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -135,6 +154,38 @@ class Trainer:
         self.output_format = getattr(self.model.module, "output_format", None)
         self._opt_shardings = None
         self._param_shardings = None
+        if self.qat:
+            if (self.pipeline_stages and self.pipeline_stages > 1) or (
+                    self.sequence_parallel_devices
+                    and self.sequence_parallel_devices > 1):
+                raise NotImplementedError(
+                    "qat=True runs the (dp/FSDP) linen step; the pipeline/"
+                    "sequence-parallel stage math carries no fake-quant "
+                    "hooks")
+            # fake-quant lives in the linen ops (ops/attention.py,
+            # ops/mlp.py), not in the Pallas custom-VJP kernels
+            self.fused = False
+        if self.tensor_parallel:
+            from peekvit_tpu.parallel import MODEL_AXIS
+
+            if self.mesh is None or self.mesh.shape.get(MODEL_AXIS, 1) < 2:
+                raise ValueError(
+                    "tensor_parallel=True requires mesh= with a "
+                    f"'{MODEL_AXIS}' axis of size >= 2 "
+                    "(parallel.make_mesh(n_model=...))")
+            if self.fsdp_sharded_params:
+                raise NotImplementedError(
+                    "tensor_parallel and fsdp_sharded_params both own the "
+                    "param placement; pick one")
+            if (self.pipeline_stages and self.pipeline_stages > 1) or (
+                    self.sequence_parallel_devices
+                    and self.sequence_parallel_devices > 1):
+                raise NotImplementedError(
+                    "tensor_parallel composes with the dp linen step; "
+                    "pipeline/sequence-parallel modes own their placement")
+            # Megatron sharding is GSPMD-derived in the linen step; the
+            # Pallas fused path's shard_map needs replicated params.
+            self.fused = False
         if self.fsdp_sharded_params:
             if self.mesh is None:
                 raise ValueError(
@@ -163,12 +214,18 @@ class Trainer:
                 self.model.params = jax.device_put(
                     self.model.params, self._param_shardings)
             else:
-                self.model.params = shard_params(self.model.params, self.mesh)
+                self.model.params = shard_params(
+                    self.model.params, self.mesh,
+                    tensor_parallel=self.tensor_parallel)
             if self.zero_sharded_optimizer or self.fsdp_sharded_params:
                 self._opt_shardings = zero1_optimizer_sharding(
                     self.opt_state, self.mesh)
                 self.opt_state = jax.device_put(
                     self.opt_state, self._opt_shardings)
+            elif self.tensor_parallel:
+                # re-init from the placed params: param-shaped moments
+                # (adam m/v, accumulators) inherit the Megatron shardings
+                self.opt_state = self.tx.init(self.model.params)
             else:
                 self.opt_state = jax.device_put(
                     self.opt_state, replicated_sharding(self.mesh)
@@ -236,8 +293,14 @@ class Trainer:
         opt_shardings = self._opt_shardings
         param_shardings = self._param_shardings
 
+        qat = self.qat
+
         def loss_fn(params, x, y, budget, noise_value, rngs):
-            out, aux = apply_fn(params, x, budget, noise_value, rngs, train=True)
+            from peekvit_tpu.ops.fake_quant import fake_quant
+
+            with fake_quant(qat):  # trace-time switch: no-op when off
+                out, aux = apply_fn(params, x, budget, noise_value, rngs,
+                                    train=True)
             metrics = {}
             if out_fmt == "early_exits":
                 # mean (or weighted) CE over every exit head
@@ -741,10 +804,15 @@ class Trainer:
         apply_fn = self.model.apply_fn()
         criterion = self.main_criterion
         out_fmt = self.output_format
+        qat = self.qat
 
         def step(params, x, y, budget, noise_value):
+            from peekvit_tpu.ops.fake_quant import fake_quant
+
             rngs = {"noise": jax.random.key(0)}
-            out, aux = apply_fn(params, x, budget, noise_value, rngs, train=False)
+            with fake_quant(qat):  # QAT: validate the quantized forward
+                out, aux = apply_fn(params, x, budget, noise_value, rngs,
+                                    train=False)
             logits = _main_logits(out, out_fmt)
             loss = criterion(logits, y)
             correct = jnp.sum(jnp.argmax(logits, -1) == y)

@@ -1118,3 +1118,44 @@ def test_fsdp_gated_residualvit_with_regularizers():
                     jax.tree.leaves(t_f.model.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_tensor_parallel_knob_matches_single_device():
+    """Trainer(tensor_parallel=True): Megatron col/row param sharding over
+    the mesh's model axis (XLA inserts the per-block psums) — params after
+    two steps match the single-device linen step; adam moments inherit the
+    TP shardings; the knob guards a model-less mesh and fused."""
+    from peekvit_tpu.training.optim import SGD
+
+    x, y = _data(8)
+    mesh = make_mesh(n_data=2, n_model=4)
+    # SGD for exact parity — adam's first-step g/sqrt(g^2) amplifies the
+    # fp-reassociation delta between the replicated and TP-psum programs
+    # for near-zero grads (same effect the ZeRO-1 test documents)
+    t_tp = Trainer(model=_model(), optimizer=SGD(lr=0.05), mesh=mesh,
+                   tensor_parallel=True)
+    assert t_tp.fused is False
+    t_sd = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=False)
+    xd, yd = shard_batch(x, mesh), shard_batch(y, mesh)
+    for i in range(2):
+        m_tp = t_tp.train_step(xd, yd, step_idx=i)
+        m_sd = t_sd.train_step(x, y, step_idx=i)
+    np.testing.assert_allclose(float(m_tp["total_loss"]),
+                               float(m_sd["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_sd.model.params),
+                    jax.tree.leaves(t_tp.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    # param-shaped adam moments carry the Megatron layout
+    t_a = Trainer(model=_model(), optimizer=Adam(lr=1e-2), mesh=mesh,
+                  tensor_parallel=True)
+    tp_leaves = [
+        l for l in jax.tree.leaves(t_a.opt_state)
+        if getattr(l, "ndim", 0) >= 1 and MODEL_AXIS in str(l.sharding.spec)
+    ]
+    assert tp_leaves, "TP left the adam moments replicated"
+
+    with pytest.raises(ValueError, match="model"):
+        Trainer(model=_model(), optimizer=Adam(lr=1e-2),
+                mesh=make_mesh(n_data=8, n_model=1), tensor_parallel=True)

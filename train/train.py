@@ -139,7 +139,12 @@ def train(cfg) -> dict:
     # by the Trainer); otherwise default to data parallelism over every
     # chip — slice-aware on multi-slice pods (grad all-reduce lowers
     # hierarchically: in-slice over ICI, cross-slice over DCN)
-    mesh = (make_hybrid_mesh()
+    # training.tensor_parallel carves a model axis out of the mesh
+    # (training.tensor_parallel_devices chips wide, default 2)
+    n_model = 1
+    if bool(tr.get("tensor_parallel")):
+        n_model = int(tr.get("tensor_parallel_devices") or 2)
+    mesh = (make_hybrid_mesh(n_model=n_model)
             if len(jax.devices()) > 1 and pipeline_stages <= 1
             and sp_devices <= 1 else None)
     trainer = Trainer(
@@ -161,6 +166,9 @@ def train(cfg) -> dict:
         zero_sharded_optimizer=bool(tr.get("zero_sharded_optimizer"))
         and mesh is not None,
         fsdp_sharded_params=bool(tr.get("fsdp_sharded_params"))
+        and mesh is not None,
+        qat=bool(tr.get("qat")),
+        tensor_parallel=bool(tr.get("tensor_parallel"))
         and mesh is not None,
     )
 
