@@ -2217,18 +2217,27 @@ class InferenceEngine:
             # kernels, one psum per sublayer) — the latency analogue of
             # the data-parallel throughput path below. Composes with dp:
             # the data axis still shards the batch.
-            if (type(module).__name__ != "VisionTransformer" or quantized
-                    or max_budget is not None or self._noise is not None
-                    or ee_outputs or recon_outputs):
+            if (type(module).__name__ not in ("VisionTransformer",
+                                              "RankVisionTransformer")
+                    or quantized or max_budget is not None
+                    or self._noise is not None or ee_outputs
+                    or recon_outputs):
                 raise NotImplementedError(
                     "tensor-parallel serving (mesh model axis > 1) covers "
-                    "the plain bf16 VisionTransformer engine; serve other "
-                    "families / modes data-parallel (make_mesh(n_model=1))")
+                    "the bf16 plain/Rank VisionTransformer engines; serve "
+                    "other families / modes data-parallel "
+                    "(make_mesh(n_model=1))")
             from peekvit_tpu.parallel.tp_serving import tp_serving_engine
 
-            self.params, self._fn = tp_serving_engine(
+            self.params, make_fn = tp_serving_engine(
                 model, mesh, compute_dtype=compute_dtype,
                 interpret=interpret)
+            self._fn = make_fn(None)
+            if self._rank_layers:
+                # exact physical drop over the TP schedule: one compiled
+                # fn per budget (built lazily in __call__)
+                self._rank_fns = {}
+                self._rank_builder = make_fn
             return
         if type(module).__name__ == "AdaptiveVisionTransformer":
             if quantized or max_budget is not None:
@@ -2576,9 +2585,13 @@ class InferenceEngine:
                     )
                 return self._fn(self.params, images, jnp.float32(b), *extra)
             if b not in self._rank_fns:
-                fwd = getattr(self, "_rank_fwd", rankvit_forward_fused)
-                self._rank_fns[b] = self._jit_noise(functools.partial(
-                    fwd, budget=b, **self._rank_common
-                ))
+                if getattr(self, "_rank_builder", None) is not None:
+                    # TP serving: the builder returns a shard-mapped fn
+                    self._rank_fns[b] = self._rank_builder(b)
+                else:
+                    fwd = getattr(self, "_rank_fwd", rankvit_forward_fused)
+                    self._rank_fns[b] = self._jit_noise(functools.partial(
+                        fwd, budget=b, **self._rank_common
+                    ))
             return self._rank_fns[b](self.params, images, *extra)
         return self._fn(self.params, images, *extra)

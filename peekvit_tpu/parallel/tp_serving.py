@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from peekvit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -127,13 +128,23 @@ def place_tp_serving_params(prepared, mesh):
 def make_tp_vit_forward(mesh, *, num_heads: int, patch_size: int,
                         num_class_tokens: int = 1, ln_eps: float = 1e-5,
                         compute_dtype=jnp.bfloat16, interpret: bool = False,
-                        images_per_cell: int = 1):
+                        images_per_cell: int = 1, rank_layers=(),
+                        budget: Optional[float] = None):
     """Build the jittable TP serving forward: (prepared, images) -> logits.
 
     The returned fn is a ``shard_map`` over the full (data, model) mesh:
     images split over ``data``, weight slices over ``model``, logits
     assembled over ``data`` (replicated over ``model`` — every model
     shard finishes with identical post-psum activations).
+
+    ``rank_layers`` + ``budget`` add the RankViT EXACT physical drop
+    (reference rankvit.py:55-77, same f32-ceil semantics as the
+    single-device exact-drop engine): because TP keeps activations fully
+    replicated — only weights are sharded — the norm/top_k/gather runs
+    identically on every model shard (psum outputs are bitwise identical
+    across shards), so the shrinking token shapes stay consistent with
+    no extra collective. One compiled fn per static budget, as in the
+    single-device mode.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -146,12 +157,23 @@ def make_tp_vit_forward(mesh, *, num_heads: int, patch_size: int,
     n_model = mesh.shape[MODEL_AXIS]
     heads_local = num_heads // n_model
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
+    rank_layers = tuple(rank_layers or ())
 
     def shard_fn(prepared, images):
         shared, tp = prepared["shared"], prepared["tp"]
         tokens, _ = _embed_posfolded(shared, images, patch_size, cast)
         num_layers = shared["bo"].shape[0]
         for l in range(num_layers):
+            if l in rank_layers and budget is not None and budget < 1.0:
+                c = num_class_tokens
+                n_alive = tokens.shape[1] - c
+                n_keep = int(np.ceil(np.float32(n_alive)
+                                     * np.float32(budget)))
+                img = tokens[:, c:]
+                norms = jnp.linalg.norm(img.astype(jnp.float32), axis=-1)
+                _, idx = jax.lax.top_k(norms, n_keep)
+                kept = jnp.take_along_axis(img, idx[..., None], axis=1)
+                tokens = jnp.concatenate([tokens[:, :c], kept], axis=1)
             pa = tp_attention_partial(
                 tokens, tp["wqkv"][0, l], tp["bqkv"][0, l], tp["wo"][0, l],
                 heads_local, ln_eps, interpret, images_per_cell)
@@ -178,18 +200,23 @@ def make_tp_vit_forward(mesh, *, num_heads: int, patch_size: int,
 def tp_serving_engine(model, mesh, *, compute_dtype=jnp.bfloat16,
                       interpret: Optional[bool] = None,
                       images_per_cell: int = 1):
-    """(prepared_params, jitted_fn) for TP serving of a built plain ViT.
+    """(prepared_params, make_fn) for TP serving of a built ViT/RankViT.
 
-    Used by ``InferenceEngine`` when its mesh carries a model axis > 1;
-    exposed for direct use. Batch must divide the mesh's data-axis size.
+    ``make_fn(budget)`` returns a jitted (prepared, images) -> logits fn;
+    plain ViT uses ``make_fn(None)``, RankViT builds one per static
+    budget (exact physical drop). Used by ``InferenceEngine`` when its
+    mesh carries a model axis > 1; exposed for direct use. Batch must
+    divide the mesh's data-axis size.
     """
     module = model.module
-    if type(module).__name__ != "VisionTransformer":
+    if type(module).__name__ not in ("VisionTransformer",
+                                     "RankVisionTransformer"):
         raise NotImplementedError(
-            "tensor-parallel serving covers the plain VisionTransformer "
-            "engine; serve other families data-parallel (mesh with "
-            "model axis 1) — their gate/rank/ACT control flow is "
-            "batch-cheap, not compute-bound, so TP buys them nothing")
+            "tensor-parallel serving covers the plain/Rank "
+            "VisionTransformer engines; serve other families "
+            "data-parallel (mesh with model axis 1) — their gate/ACT "
+            "control flow is batch-cheap, not compute-bound, and the "
+            "masked kernels have no TP partial variants")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if DATA_AXIS not in mesh.shape or MODEL_AXIS not in mesh.shape:
@@ -201,9 +228,14 @@ def tp_serving_engine(model, mesh, *, compute_dtype=jnp.bfloat16,
     prepared = prepare_tp_serving_params(
         model.params, n_model, module.num_heads, compute_dtype)
     prepared = place_tp_serving_params(prepared, mesh)
-    fn = make_tp_vit_forward(
-        mesh, num_heads=module.num_heads, patch_size=module.patch_size,
-        num_class_tokens=getattr(module, "num_class_tokens", 1),
-        compute_dtype=compute_dtype, interpret=interpret,
-        images_per_cell=images_per_cell)
-    return prepared, fn
+    rank_layers = tuple(getattr(module, "rankvit_layers", ()) or ())
+
+    def make_fn(budget: Optional[float]):
+        return make_tp_vit_forward(
+            mesh, num_heads=module.num_heads, patch_size=module.patch_size,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            compute_dtype=compute_dtype, interpret=interpret,
+            images_per_cell=images_per_cell, rank_layers=rank_layers,
+            budget=budget)
+
+    return prepared, make_fn

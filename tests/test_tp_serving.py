@@ -92,6 +92,28 @@ def test_tp_engine_guards():
                         mesh=mesh)
 
 
+def test_tp_rankvit_exact_drop_matches_single_device():
+    """RankViT over the TP schedule (exact physical drop replicated per
+    model shard): logits match the single-device exact-drop engine at
+    every budget, incl. budget 1.0 (no drop) and the no-budget call."""
+    rank = build_model(
+        "rankvit", dict(VIT_ARGS, rankvit_layers=[1, 2]), seed=103)
+    rank.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(104), rank.params["head"]["kernel"].shape)
+    x = _images(4, seed=11)
+    single = InferenceEngine(rank, compute_dtype=jnp.float32,
+                             interpret=True)
+    tp = InferenceEngine(rank, compute_dtype=jnp.float32, interpret=True,
+                         mesh=make_mesh(n_data=2, n_model=4))
+    for budget in (0.5, 0.25, 1.0):
+        np.testing.assert_allclose(
+            np.asarray(tp(x, budget=budget)),
+            np.asarray(single(x, budget=budget)),
+            rtol=1e-4, atol=1e-4, err_msg=f"budget {budget}")
+    np.testing.assert_allclose(np.asarray(tp(x)), np.asarray(single(x)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_tp_eval_entry_knob(tmp_path):
     """`test.tensor_parallel_devices=2` serves the eval sweep through the
     TP engine (validate/test.py) — accuracy keys come back sane."""
