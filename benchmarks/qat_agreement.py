@@ -124,18 +124,25 @@ def main():
             out, _ = apply_fn(params, x, None, None, {}, train=False)
         return out
 
-    labels = np.concatenate([
-        np.asarray(fwd(base.params, jnp.asarray(train_x[i:i + 2 * BATCH])))
-        .argmax(-1)
-        for i in range(0, TRAIN_N, 2 * BATCH)]).astype(np.int32)
+    def teacher(images):
+        return np.concatenate([
+            np.asarray(fwd(base.params, jnp.asarray(images[i:i + 2 * BATCH])))
+            .argmax(-1)
+            for i in range(0, len(images), 2 * BATCH)]).astype(np.int32)
+
+    labels = teacher(train_x)
+    # held-out teacher labels: each variant's fp32 AND int8 accuracies vs
+    # these give the quant DROP per variant (the confound-free measure)
+    labels_eval = teacher(eval_x)
 
     results = {"config": {"train_n": TRAIN_N, "eval_n": EVAL_N,
                           "steps": STEPS, "lr": LR, "batch": BATCH,
                           "fixture": "outlier ViT-B/16 seed 9"}}
-    results["ptq_dynamic"] = int8_vs_own_fp32(base, eval_x)
+    results["ptq_dynamic"] = int8_vs_own_fp32(
+        base, eval_x, teacher_labels=labels_eval)
     print(json.dumps({"ptq_dynamic": results["ptq_dynamic"]}), flush=True)
-    results["ptq_smoothquant"] = int8_vs_own_fp32(base, eval_x,
-                                                  calib=train_x[:32])
+    results["ptq_smoothquant"] = int8_vs_own_fp32(
+        base, eval_x, calib=train_x[:32], teacher_labels=labels_eval)
     print(json.dumps({"ptq_smoothquant": results["ptq_smoothquant"]}),
           flush=True)
 
@@ -143,7 +150,8 @@ def main():
         model = build_model("vit", B16, seed=9)
         model.params = jax.tree.map(jnp.copy, base.params)
         finetune(model, train_x, labels, qat=qat)
-        results[mode] = int8_vs_own_fp32(model, eval_x)
+        results[mode] = int8_vs_own_fp32(model, eval_x,
+                                         teacher_labels=labels_eval)
         print(json.dumps({mode: results[mode]}), flush=True)
 
     path = os.path.join(os.path.dirname(__file__), "qat_agreement.json")

@@ -8,6 +8,17 @@ attention, column/row-sharded MLP; one psum per sublayer riding ICI).
 The reference has no parallelism of any kind (SURVEY.md §2 inventory;
 /root/reference/train/train.py:61 ``model.to(device)``).
 
+When it pays: each layer costs two fp32 (B, N, D) psums over ICI, so TP
+wins when per-chip compute saved > psum time. Analytically (v5e ICI
+~90 GB/s/link bidir): ViT-B bs1 is ~16 us/layer of compute against
+~13 us/layer of psum traffic — near break-even, keep it on one chip;
+ViT-H (69 us/layer, psum ~21 us at N=257, D=1280) gains ~2.3x latency
+at TP=4 — TP serving is for models whose per-layer compute dwarfs one
+chip, exactly the regime the training-side TP rules target
+(mesh.py: "when hidden_dim outgrows one chip"). Unmeasurable in this
+1-chip environment; the parity tests + dryrun pin correctness on the
+virtual mesh.
+
 Design: Pallas calls are not GSPMD-partitionable, so the schedule is
 explicit — ``shard_map`` over a (data, model) mesh where each model
 shard holds its slice of every layer's weights (leading shard axis,

@@ -92,6 +92,23 @@ def test_tp_engine_guards():
                         mesh=mesh)
 
 
+def test_tp_engine_registers_and_multi_class_tokens():
+    """The embed fold carries registers + N class tokens through the TP
+    path unchanged (sum-classifier over 2 class tokens, 2 registers)."""
+    model = build_model(
+        "vit", dict(VIT_ARGS, num_class_tokens=2, num_registers=2),
+        seed=105)
+    model.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(106), model.params["head"]["kernel"].shape)
+    x = _images(2, seed=13)
+    single = InferenceEngine(model, compute_dtype=jnp.float32,
+                             interpret=True)
+    tp = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                         mesh=make_mesh(n_data=2, n_model=4))
+    np.testing.assert_allclose(np.asarray(tp(x)), np.asarray(single(x)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_tp_rankvit_exact_drop_matches_single_device():
     """RankViT over the TP schedule (exact physical drop replicated per
     model shard): logits match the single-device exact-drop engine at
