@@ -129,6 +129,13 @@ class Trainer:
     # linen step (the Pallas fused path's shard_map needs replicated
     # params — ``fused`` is coerced off).
     tensor_parallel: bool = False
+    # Per-block jax.checkpoint on the fused plain-ViT train path (the
+    # OOM ladder's first fallback, benchmarks/train_scale.py: backward
+    # recomputes each block instead of saving its intermediates —
+    # ViT-H/14 single-chip training fits only with it). Costs ~25% step
+    # time at ViT-B (train_step.json split+remat row); prefer
+    # grad_accumulation when activations are not the binding constraint.
+    remat: bool = False
 
     def __post_init__(self):
         if self.main_criterion is None:
@@ -274,6 +281,12 @@ class Trainer:
 
     def _build_train_step(self):
         self._train_kind = "linen"
+        if self.remat and self._fused_kind() != "vit":
+            raise NotImplementedError(
+                "remat=True is a fused plain-ViT train-path knob "
+                "(training/fused.vit_forward_trainable jax.checkpoint per "
+                "block); for other paths trade memory with "
+                "grad_accumulation or a smaller batch")
         if self.pipeline_stages and self.pipeline_stages > 1:
             self._train_kind = "pipeline"
             return self._build_pipeline_train_step()
@@ -737,6 +750,7 @@ class Trainer:
             num_class_tokens=getattr(module, "num_class_tokens", 1),
             num_registers=getattr(module, "num_registers", 0),
             ln_eps=getattr(module, "ln_eps", 1e-5),
+            remat=self.remat,
             interpret=interpret,
         )
         if dp > 1:

@@ -268,3 +268,42 @@ def test_trainer_fused_residualvit_with_regularizers():
     model.set_budget(0.5)
     logits, aux = model(x)
     assert logits.shape == (10, 5) and aux["masks"]
+
+
+def test_trainer_remat_knob():
+    """Trainer(remat=True): per-block jax.checkpoint on the fused path —
+    same math (params match the non-remat step), and a clear guard on
+    paths without a remat shape."""
+    import pytest
+
+    from peekvit_tpu.training.optim import SGD
+    from peekvit_tpu.training.trainer import Trainer
+
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(8, 16, 16, 3)),
+                    jnp.float32)
+    y = jnp.asarray(np.arange(8) % 5, jnp.int32)
+    t_r = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=True,
+                  remat=True)
+    t_n = Trainer(model=_model(), optimizer=SGD(lr=0.05), fused=True)
+    for i in range(2):
+        m_r = t_r.train_step(x, y, step_idx=i)
+        m_n = t_n.train_step(x, y, step_idx=i)
+    np.testing.assert_allclose(float(m_r["total_loss"]),
+                               float(m_n["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_n.model.params),
+                    jax.tree.leaves(t_r.model.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    res = build_model(
+        "residualvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        seed=4,
+    )
+    t_bad = Trainer(model=res, optimizer=SGD(lr=0.05), fused=True,
+                    remat=True)
+    with pytest.raises(NotImplementedError, match="remat"):
+        t_bad.train_step(x, y, budget=0.5, step_idx=0)

@@ -168,6 +168,7 @@ def train(cfg) -> dict:
         fsdp_sharded_params=bool(tr.get("fsdp_sharded_params"))
         and mesh is not None,
         qat=bool(tr.get("qat")),
+        remat=bool(tr.get("remat")),
         tensor_parallel=bool(tr.get("tensor_parallel"))
         and mesh is not None,
     )
