@@ -2217,21 +2217,21 @@ class InferenceEngine:
             # kernels, one psum per sublayer) — the latency analogue of
             # the data-parallel throughput path below. Composes with dp:
             # the data axis still shards the batch.
-            if (type(module).__name__ not in ("VisionTransformer",
-                                              "RankVisionTransformer")
+            if ((type(module).__name__ not in ("VisionTransformer",
+                                               "RankVisionTransformer")
+                 and not self._residual)
                     or quantized or max_budget is not None
-                    or self._noise is not None or ee_outputs
-                    or recon_outputs):
+                    or self._noise is not None or recon_outputs):
                 raise NotImplementedError(
                     "tensor-parallel serving (mesh model axis > 1) covers "
-                    "the bf16 plain/Rank VisionTransformer engines; serve "
-                    "other families / modes data-parallel "
-                    "(make_mesh(n_model=1))")
+                    "the bf16 plain/Rank VisionTransformer and ResidualViT-"
+                    "family engines; serve other families / modes "
+                    "data-parallel (make_mesh(n_model=1))")
             from peekvit_tpu.parallel.tp_serving import tp_serving_engine
 
             self.params, make_fn = tp_serving_engine(
                 model, mesh, compute_dtype=compute_dtype,
-                interpret=interpret)
+                interpret=interpret, ee_outputs=bool(ee_outputs))
             self._fn = make_fn(None)
             if self._rank_layers:
                 # exact physical drop over the TP schedule: one compiled

@@ -80,16 +80,23 @@ def test_tp_engine_guards():
         InferenceEngine(bad_heads, compute_dtype=jnp.float32,
                         interpret=True, mesh=mesh)
 
-    # non-plain-ViT families refuse the model axis with a clear pointer
-    res = build_model(
+    # families without TP partial kernels refuse the model axis with a
+    # clear pointer (A-ViT: ACT control flow)
+    avit = build_model("adavit", dict(VIT_ARGS), seed=99)
+    with pytest.raises(NotImplementedError, match="data-parallel"):
+        InferenceEngine(avit, compute_dtype=jnp.float32, interpret=True,
+                        mesh=mesh)
+
+    # ResidualViT outside the shipped-config envelope refuses too
+    res_nogate = build_model(
         "residualvit",
         dict(VIT_ARGS, residual_layers=["attention+mlp"] * 3,
-             gate_type="sigmoid", add_budget_token="learnable"),
-        seed=99,
+             gate_type="sigmoid", add_budget_token=False),
+        seed=100,
     )
-    with pytest.raises(NotImplementedError, match="data-parallel"):
-        InferenceEngine(res, compute_dtype=jnp.float32, interpret=True,
-                        mesh=mesh)
+    with pytest.raises(NotImplementedError):
+        InferenceEngine(res_nogate, compute_dtype=jnp.float32,
+                        interpret=True, mesh=mesh)
 
 
 def test_tp_engine_registers_and_multi_class_tokens():
@@ -157,6 +164,111 @@ def test_tp_eval_entry_knob(tmp_path):
     accs = [a for r in summary["results_per_budget"].values()
             for a in r.values()]
     assert accs and all(0.0 <= a <= 1.0 for a in accs)
+
+
+RES_ARGS = dict(VIT_ARGS, residual_layers=["attention+mlp"] * 3,
+                gate_type="sigmoid")
+
+
+@pytest.mark.parametrize("budget_token", ["learnable", True])
+def test_tp_residualvit_matches_single_device(budget_token):
+    """ResidualViT over the TP schedule (masked partial kernels + psum,
+    gates replicated per model shard): logits match the single-device
+    fused engine at every budget — including the batch-coupled
+    non-learnable budget-token mode, whose WHOLE-batch budget-token mean
+    must span the data axis of the dp x tp mesh."""
+    res = build_model("residualvit",
+                      dict(RES_ARGS, add_budget_token=budget_token),
+                      seed=121)
+    res.params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.key(122), res.params["head"]["kernel"].shape)
+    x = _images(4, seed=17)
+    single = InferenceEngine(res, compute_dtype=jnp.float32, interpret=True)
+    tp = InferenceEngine(res, compute_dtype=jnp.float32, interpret=True,
+                         mesh=make_mesh(n_data=2, n_model=4))
+    for budget in (0.25, 0.6, 1.0):
+        np.testing.assert_allclose(
+            np.asarray(tp(x, budget=budget)),
+            np.asarray(single(x, budget=budget)),
+            rtol=1e-4, atol=1e-4, err_msg=f"budget {budget}")
+
+
+def test_tp_residualvit_matches_linen():
+    """Pure-TP mesh (1, 4) vs the linen fp32 ResidualViT forward."""
+    res = build_model("residualvit",
+                      dict(RES_ARGS, add_budget_token="learnable"),
+                      seed=125)
+    x = _images(2, seed=19)
+    want, _ = res.apply_fn()(res.params, x, 0.5, None, {}, train=False)
+    tp = InferenceEngine(res, compute_dtype=jnp.float32, interpret=True,
+                         mesh=make_mesh(n_data=1, n_model=4))
+    np.testing.assert_allclose(np.asarray(tp(x, budget=0.5)),
+                               np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_tp_eeresidualvit_exit_tuple_matches_single_device():
+    """The EE variant's per-layer exit heads ride the TP schedule
+    (replicated XLA math on post-psum tokens): the (exit_0..exit_{L-1},
+    final) tuple matches the single-device EE engine."""
+    ee = build_model("eeresidualvit",
+                     dict(RES_ARGS, add_budget_token="learnable"), seed=131)
+    x = _images(4, seed=23)
+    single = InferenceEngine(ee, compute_dtype=jnp.float32, interpret=True,
+                             ee_outputs=True)
+    tp = InferenceEngine(ee, compute_dtype=jnp.float32, interpret=True,
+                         ee_outputs=True,
+                         mesh=make_mesh(n_data=2, n_model=4))
+    got, want = tp(x, budget=0.4), single(x, budget=0.4)
+    assert len(got) == len(want) == 4  # 3 exits + final
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"output {i}")
+
+
+def test_tp_residual_param_slices_cover_whole_model():
+    """Slicing invariant for the residual prep: re-assembling the
+    per-shard slices reproduces the (unfolded) single-device weights."""
+    from peekvit_tpu.inference import prepare_engine_params
+    from peekvit_tpu.parallel.tp_serving import (
+        prepare_tp_residual_serving_params,
+    )
+
+    res = build_model("residualvit",
+                      dict(RES_ARGS, add_budget_token="learnable"),
+                      seed=133)
+    n_model = 4
+    prep = prepare_engine_params(res.params, jnp.float32)
+    tp = prepare_tp_residual_serving_params(res.params, n_model, 4,
+                                            jnp.float32)
+    d = 64
+    dl = d // n_model
+    for li, key in enumerate(sorted(
+            k for k in prep["encoder"] if k.startswith("layers_"))):
+        at = prep["encoder"][key]["self_attention"]
+        mlp = prep["encoder"][key]["mlp"]
+        wq = np.asarray(at["in_proj_kernel"])
+        got = np.concatenate(
+            [np.concatenate(
+                [np.asarray(tp["tp"]["wqkv"][s, li])[:, c * dl:(c + 1) * dl]
+                 for s in range(n_model)], axis=1)
+             for c in range(3)], axis=1)
+        np.testing.assert_array_equal(got, wq)
+        wo = np.concatenate(
+            [np.asarray(tp["tp"]["wo"][s, li]) for s in range(n_model)],
+            axis=0)
+        np.testing.assert_array_equal(wo, np.asarray(at["out_proj_kernel"]))
+        w1 = np.concatenate(
+            [np.asarray(tp["tp"]["w1"][s, li]) for s in range(n_model)],
+            axis=1)
+        np.testing.assert_array_equal(w1, np.asarray(mlp["fc1_kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(tp["shared"]["ln1s"][li]),
+            np.asarray(prep["encoder"][key]["ln_1"]["scale"]))
+        np.testing.assert_array_equal(
+            np.asarray(tp["shared"]["gk"][li]),
+            np.asarray(prep["encoder"][key]["residual_gate"]["projection"]
+                       ["kernel"]))
 
 
 def test_tp_param_slices_cover_whole_model():

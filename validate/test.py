@@ -100,7 +100,7 @@ def validate(model, cfg, dataset, experiment_dir, logger):
                 calib = jnp.concatenate(xs)[:n_calib]
             # test.tensor_parallel_devices=N: serve TENSOR-parallel over
             # an (all/N, N) mesh — one forward split across N chips
-            # (parallel/tp_serving.py); bf16 plain ViT only
+            # (parallel/tp_serving.py); bf16 plain/Rank ViT + ResidualViT
             mesh = None
             tp_n = int(tcfg.get("tensor_parallel_devices", 0) or 0)
             if tp_n > 1:
