@@ -844,9 +844,16 @@ class Trainer:
     # --------------------------------------------------------------- epochs
 
     def train_epoch(self, loader, epoch: int, logger=None, budget=None,
-                    noise_value=None, log_prefix: str = "train/") -> Dict[str, float]:
+                    noise_value=None, log_prefix: str = "train/",
+                    should_stop=None) -> Dict[str, float]:
         """One epoch (reference train.py:97-127): per-batch step + logging,
-        per-epoch scheduler step."""
+        per-epoch scheduler step.
+
+        ``should_stop``: optional zero-arg callable polled between steps
+        (a utils.preemption.PreemptionGuard); when it returns True the
+        epoch stops after the in-flight step, flushes its metrics, and
+        the summary carries ``interrupted=1.0`` so the entry point can
+        checkpoint and exit inside the preemption grace window."""
         if self.scheduler is not None:
             lr = self.scheduler.lr_at(epoch, self.optimizer.lr)
             self.opt_state = set_learning_rate(self.opt_state, lr)
@@ -881,6 +888,11 @@ class Trainer:
                 running = {k: running[k] + jnp.asarray(metrics[k], jnp.float32)
                            for k in running}
             count += 1
+            if should_stop is not None and should_stop():
+                interrupted = True
+                break
+        else:
+            interrupted = False
         flush()
         # epoch summary = MEAN over batches (not the last batch's sample)
         sums: Dict[str, float] = (
@@ -891,6 +903,8 @@ class Trainer:
         if logger is not None and lr_now is not None:
             logger.log({f"{log_prefix}lr": lr_now})
         sums["num_batches"] = count
+        if interrupted:
+            sums["interrupted"] = 1.0
         return sums
 
     def validate(self, loader, budget=None, noise_value=None):

@@ -55,6 +55,7 @@ def save_state(
     epoch: int = 0,
     skip_optimizer: bool = True,
     async_save: bool = False,
+    extra_metadata: Optional[dict] = None,
 ) -> str:
     """Save a self-describing checkpoint. Returns the checkpoint path.
 
@@ -76,6 +77,8 @@ def save_state(
         "noise_args": model.noise_args,
         "epoch": epoch,
     }
+    if extra_metadata:
+        meta.update(extra_metadata)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     if async_save:

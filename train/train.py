@@ -124,6 +124,26 @@ def train(cfg) -> dict:
         print(f"Loading from {path}", flush=True)
         model = load_state(path, model, strict=False)
 
+    # --- preemption recovery (utils/preemption.py): resume this experiment
+    # from its own last committed checkpoint. A checkpoint tagged
+    # ``partial`` (written by the SIGTERM path below) restarts ITS epoch;
+    # a periodic one restarts the next.
+    start_epoch = 0
+    resume_meta = None
+    if tr.get("auto_resume") and not cfg.get("load_from"):
+        import json as _json
+
+        resume = get_checkpoint_path(experiment_dir)
+        if resume:
+            with open(os.path.join(resume, "metadata.json")) as f:
+                resume_meta = _json.load(f)
+            print(f"auto_resume: {resume} (epoch {resume_meta['epoch']}"
+                  + (", partial" if resume_meta.get("partial") else "")
+                  + ")", flush=True)
+            model = load_state(resume, model, strict=True)
+            start_epoch = int(resume_meta["epoch"]) + (
+                0 if resume_meta.get("partial") else 1)
+
     if tr.get("reinit_class_tokens"):
         model = topology.reinit_class_tokens(model, seed=cfg.seed)
 
@@ -173,6 +193,18 @@ def train(cfg) -> dict:
         and mesh is not None,
     )
 
+    if resume_meta is not None:
+        # optimizer state is saved by the preemption path (and by any
+        # skip_optimizer=False save); restore it when present so the
+        # resumed run continues with warm adam moments / accumulators
+        from peekvit_tpu.utils.checkpoint import load_optimizer_state
+
+        resume = get_checkpoint_path(experiment_dir)
+        if os.path.isdir(os.path.join(resume, "opt_state")):
+            trainer.opt_state = load_optimizer_state(
+                resume, trainer.opt_state)
+            print("auto_resume: optimizer state restored", flush=True)
+
     train_budget = tr.get("train_budget")
     if model.accepts_budget:
         # budget models need set_budget at eval; default to full budget
@@ -180,25 +212,52 @@ def train(cfg) -> dict:
     else:
         val_budgets = [None]  # budget fallback (test.py:59-65)
 
-    results = {"experiment_dir": experiment_dir, "val_accuracy": {}}
+    results = {"experiment_dir": experiment_dir, "val_accuracy": {},
+               "start_epoch": start_epoch}
     num_epochs = tr.num_epochs
     profile_epoch = tr.get("profile_epoch", -1)
-    for epoch in range(num_epochs + 1):  # reference range(num_epochs+1)
+
+    # SIGTERM (pod preemption / job manager kill) -> stop after the
+    # in-flight step, write ONE sync checkpoint (params + optimizer,
+    # tagged partial when mid-epoch), exit 0. auto_resume picks it up.
+    from peekvit_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    if tr.get("preemption_checkpointing", True):
+        guard.install()
+
+    def _preemption_save(epoch: int, partial: bool) -> None:
+        from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # don't race an in-flight async periodic save
+        path = save_state(checkpoints_dir, model, trainer.opt_state, epoch,
+                          skip_optimizer=False, async_save=False,
+                          extra_metadata={"partial": partial})
+        print(f"  preemption checkpoint -> {path}"
+              + (" (partial epoch)" if partial else ""), flush=True)
+        results["preempted"] = True
+
+    for epoch in range(start_epoch, num_epochs + 1):  # ref range(n+1)
         if epoch == profile_epoch:
             trace_dir = os.path.join(experiment_dir, "profile")
             print(f"profiling epoch {epoch} -> {trace_dir}", flush=True)
             with jax.profiler.trace(trace_dir):
                 metrics = trainer.train_epoch(
-                    train_loader, epoch, logger=logger, budget=train_budget
+                    train_loader, epoch, logger=logger, budget=train_budget,
+                    should_stop=guard,
                 )
         else:
             metrics = trainer.train_epoch(
-                train_loader, epoch, logger=logger, budget=train_budget
+                train_loader, epoch, logger=logger, budget=train_budget,
+                should_stop=guard,
             )
         print(
             f"epoch {epoch}: total_loss={metrics.get('total_loss', float('nan')):.4f}",
             flush=True,
         )
+        if metrics.get("interrupted"):
+            _preemption_save(epoch, partial=True)
+            break
 
         if tr.eval_every > 0 and epoch % tr.eval_every == 0:
             for b in val_budgets:
@@ -237,6 +296,13 @@ def train(cfg) -> dict:
             except ImportError:
                 print("visualize module unavailable; skipping mask plots")
 
+        if guard.triggered:
+            # signal landed between epochs (eval/checkpoint/plots): the
+            # epoch is complete, so the resume point is the NEXT epoch
+            _preemption_save(epoch, partial=False)
+            break
+
+    guard.uninstall()  # multirun: the next run installs its own
     from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # flush in-flight async saves before returning

@@ -94,12 +94,33 @@ def train_reconstruction(cfg, reconstruction_weight: float = 1.0) -> dict:
         val_budgets = [None]
 
     results = {"experiment_dir": experiment_dir, "val_accuracy": {}}
+
+    # same SIGTERM contract as train/train.py: stop after the in-flight
+    # step, one sync checkpoint (params + optimizer, tagged partial)
+    from peekvit_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    if tr.get("preemption_checkpointing", True):
+        guard.install()
+
     for epoch in range(tr.num_epochs + 1):
         metrics = trainer.train_epoch(train_loader, epoch, logger=logger,
-                                      budget=tr.get("train_budget"))
+                                      budget=tr.get("train_budget"),
+                                      should_stop=guard)
         print(f"epoch {epoch}: total={metrics.get('total_loss', float('nan')):.4f} "
               f"recon={metrics.get('reconstruction_loss', float('nan')):.4f}",
               flush=True)
+        if metrics.get("interrupted") or guard.triggered:
+            from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
+
+            wait_for_checkpoints()
+            path = save_state(
+                checkpoints_dir, model, trainer.opt_state, epoch,
+                skip_optimizer=False, async_save=False,
+                extra_metadata={"partial": bool(metrics.get("interrupted"))})
+            print(f"  preemption checkpoint -> {path}", flush=True)
+            results["preempted"] = True
+            break
         if tr.eval_every > 0 and epoch % tr.eval_every == 0:
             for b in val_budgets:
                 acc, loss = trainer.validate(val_loader, budget=b)
@@ -120,6 +141,7 @@ def train_reconstruction(cfg, reconstruction_weight: float = 1.0) -> dict:
                 budget=next((b for b in val_budgets if b is not None), None),
                 save_dir=os.path.join(images_dir, f"epoch_{epoch}", "recon"),
             )
+    guard.uninstall()
     from peekvit_tpu.utils.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()
