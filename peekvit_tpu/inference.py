@@ -853,6 +853,62 @@ def collect_residualvit_activation_stats(
     return tuple(caps), smoothing
 
 
+def collect_qat_caps(model, images, *, percentile: float = 99.9,
+                     budget: float = 1.0):
+    """Static-caps calibration for ``Trainer(qat='static')``, dispatched
+    by model family (the same collectors the int8 engine uses):
+
+    - plain ViT / RankViT: :func:`collect_activation_caps` at full token
+      count (ranking only removes tokens — full-budget stats bound every
+      sparser budget, same argument as the int8+drop engine).
+    - ResidualViT family (gated encoders, no decoder):
+      :func:`collect_residualvit_activation_stats` at ``budget``.
+
+    Models whose quantized matmuls are not exactly the four sites per
+    encoder layer (MAE/EncDec decoders, MoE experts, A-ViT) are rejected
+    — the fake-quant counters could not assign caps to them (see
+    ops/fake_quant.py).
+    """
+    module = model.module
+    images = jnp.asarray(images)
+    if hasattr(module, "gate_temp") and hasattr(module, "add_budget_token"):
+        if getattr(module, "decoder_num_layers", 0):
+            raise NotImplementedError(
+                "qat='static' does not cover encoder-decoder models: the "
+                "decoder blocks quantize outside the calibrated encoder "
+                "sites")
+        caps, _ = collect_residualvit_activation_stats(
+            model.params, images, budget,
+            patch_size=module.patch_size, num_heads=module.num_heads,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            num_registers=getattr(module, "num_registers", 0),
+            gate_temp=module.gate_temp, gate_bias=module.gate_bias,
+            budget_token=module.add_budget_token, percentile=percentile)
+        return caps
+    name = type(module).__name__
+    if "MoE" in name or "Adaptive" in name:
+        raise NotImplementedError(
+            "qat='static' supports plain/Rank/Residual ViT encoders only: "
+            f"{name} quantizes outside the four calibrated per-layer "
+            "sites (expert stacks / ACT-masked blocks)")
+    if hasattr(module, "patch_size"):
+        if getattr(module, "decoder_num_layers", 0) or hasattr(
+                module, "mask_ratio"):
+            raise NotImplementedError(
+                "qat='static' does not cover encoder-decoder/MAE models: "
+                "the decoder blocks quantize outside the calibrated "
+                "encoder sites")
+        return collect_activation_caps(
+            model.params, images,
+            patch_size=module.patch_size, num_heads=module.num_heads,
+            num_class_tokens=getattr(module, "num_class_tokens", 1),
+            num_registers=getattr(module, "num_registers", 0),
+            ln_eps=getattr(module, "ln_eps", 1e-5), percentile=percentile)
+    raise NotImplementedError(
+        "qat='static' supports plain/Rank/Residual ViT encoders only "
+        f"(got {type(module).__name__})")
+
+
 def compute_smoothing_vectors(params, images, *, patch_size: int,
                               num_heads: int, num_class_tokens: int = 1,
                               num_registers: int = 0, ln_eps: float = 1e-5,

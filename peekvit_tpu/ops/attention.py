@@ -114,11 +114,11 @@ def multi_head_attention(
     if _ATTENTION_IMPL == "pallas" and key_mask is None and deterministic:
         from peekvit_tpu.ops.pallas.fused_attention import fused_mhsa
 
-        xq, wq = maybe_fq(x, params["in_proj"]["kernel"])
+        xq, wq = maybe_fq(x, params["in_proj"]["kernel"], site="qkv")
         qkv = jnp.einsum("bnd,de->bne", xq, wq) + params["in_proj"]["bias"]
         out = fused_mhsa(qkv, num_heads, jax.default_backend() != "tpu")
     else:
-        xq, wq = maybe_fq(x, params["in_proj"]["kernel"])
+        xq, wq = maybe_fq(x, params["in_proj"]["kernel"], site="qkv")
         q, k, v = qkv_projection(xq, wq, params["in_proj"]["bias"])
         out = attention_core(
             q,
@@ -130,7 +130,7 @@ def multi_head_attention(
             deterministic=deterministic,
             dropout_rng=dropout_rng,
         )
-    oq, wo = maybe_fq(out, params["out_proj"]["kernel"])
+    oq, wo = maybe_fq(out, params["out_proj"]["kernel"], site="out")
     return jnp.einsum("bnd,de->bne", oq, wo) + params["out_proj"]["bias"]
 
 

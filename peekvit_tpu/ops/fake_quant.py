@@ -13,6 +13,24 @@ gradients flow through the rounding as identity — the weights learn to
 sit on representable points and to shrink the activation error the int8
 engine will later commit for real.
 
+Two activation grids, matching the two engine modes:
+
+- **dynamic** (default): symmetric per-token abs-max scales —
+  ``_quant_rows(x)``.
+- **static caps** (``fake_quant(True, caps=...)``): fixed calibrated
+  scale ``cap/127`` per quantized site with saturation at the cap —
+  ``_quant_rows(x, cap)``, the engine's ``calib_static_caps=True`` mode.
+  ``caps`` is the engine's calibration structure
+  (inference.collect_activation_caps): one
+  ``((attn_ln, attn_out), (mlp_ln, mlp_h))`` tuple per encoder layer.
+  The hooks fire in layer order during tracing, so per-site counters
+  assign the layer index; models whose quantized matmuls are not
+  exactly the four encoder-layer sites (e.g. MAE's decoder blocks, MoE
+  expert stacks) fail the consumption check with a clear error.
+  Clipped-STE gradients: identity inside ``|x| <= cap``, zero where the
+  engine would saturate (PACT-style; a saturated activation's gradient
+  cannot reach the weight through a clipped value).
+
 Enabled as a TRACE-TIME switch (the :func:`fake_quant` context manager
 wraps the model apply inside the Trainer's loss/eval fns — same
 precedent as ops.attention.set_attention_impl): zero cost when off, no
@@ -29,6 +47,11 @@ import jax
 import jax.numpy as jnp
 
 _ENABLED = False
+_CAPS = None
+_SITE_IDX = None
+
+# site name -> index into the per-layer ((a1, a2), (m1, m2)) caps tuple
+_SITE_SLOT = {"qkv": (0, 0), "out": (0, 1), "fc1": (1, 0), "fc2": (1, 1)}
 
 
 def enabled() -> bool:
@@ -36,15 +59,33 @@ def enabled() -> bool:
 
 
 @contextlib.contextmanager
-def fake_quant(on: bool = True):
-    """Enable fake quantization for model applies TRACED in this block."""
-    global _ENABLED
-    prev = _ENABLED
+def fake_quant(on: bool = True, caps=None):
+    """Enable fake quantization for model applies TRACED in this block.
+
+    ``caps``: optional static calibration tuple (one
+    ``((attn_ln, attn_out), (mlp_ln, mlp_h))`` per encoder layer, from
+    inference.collect_activation_caps / the residual stats collector).
+    With caps the activation grid is the static-caps engine's; without,
+    the dynamic per-token engine's.
+    """
+    global _ENABLED, _CAPS, _SITE_IDX
+    prev = (_ENABLED, _CAPS, _SITE_IDX)
     _ENABLED = bool(on)
+    _CAPS = tuple(caps) if (on and caps is not None) else None
+    _SITE_IDX = {s: 0 for s in _SITE_SLOT} if _CAPS is not None else None
     try:
         yield
+        if _CAPS is not None:
+            used = set(_SITE_IDX.values())
+            if used not in ({0}, {len(_CAPS)}):
+                raise ValueError(
+                    "static-caps QAT consumed caps unevenly "
+                    f"(per-site counts {_SITE_IDX}, {len(_CAPS)} layer caps): "
+                    "the model's quantized matmuls are not exactly the four "
+                    "encoder-layer sites the caps were calibrated for "
+                    "(supported: plain/Rank/Residual ViT encoders)")
     finally:
-        _ENABLED = prev
+        _ENABLED, _CAPS, _SITE_IDX = prev
 
 
 def _ste(x32, q):
@@ -62,20 +103,45 @@ def fq_weight(w: jax.Array) -> jax.Array:
     return _ste(wf, q).astype(w.dtype)
 
 
-def fq_act(x: jax.Array) -> jax.Array:
-    """dequant(quant(x)) on the engine's activation grid — symmetric int8
-    per ROW/token, dynamic abs-max (quant_blocks._quant_rows), STE."""
+def fq_act(x: jax.Array, cap=None) -> jax.Array:
+    """dequant(quant(x)) on the engine's activation grid.
+
+    ``cap=None``: symmetric int8 per ROW/token, dynamic abs-max
+    (quant_blocks._quant_rows), identity STE. ``cap=<float>``: the
+    static-caps engine grid — fixed scale cap/127, saturating clip,
+    clipped STE (gradient zero where the engine saturates)."""
     xf = x.astype(jnp.float32)
+    if cap is not None:
+        s = jnp.maximum(jnp.asarray(cap, jnp.float32), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(xf / s), -127, 127) * s
+        inside = xf * (jnp.abs(xf) <= s * 127.0).astype(jnp.float32)
+        out = inside + jax.lax.stop_gradient(q - inside)
+        return out.astype(x.dtype)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
                     1e-12)
     q = jnp.clip(jnp.round(xf / s), -127, 127) * s
     return _ste(xf, q).astype(x.dtype)
 
 
-def maybe_fq(x: jax.Array, w: jax.Array):
+def maybe_fq(x: jax.Array, w: jax.Array, site: str | None = None):
     """(x, w) fake-quantized when QAT is on, unchanged otherwise. Called
     at the exact matmuls the int8 engine quantizes: qkv / out-proj
-    (ops/attention.py) and fc1 / fc2 (ops/mlp.py)."""
+    (ops/attention.py, sites 'qkv'/'out') and fc1 / fc2 (ops/mlp.py,
+    sites 'fc1'/'fc2'). Under static caps the per-site call order during
+    tracing assigns the layer index (encoder layers trace in order in
+    every model family)."""
     if not _ENABLED:
         return x, w
-    return fq_act(x), fq_weight(w)
+    cap = None
+    if _CAPS is not None and site is not None:
+        i = _SITE_IDX[site]
+        if i >= len(_CAPS):
+            raise ValueError(
+                f"static-caps QAT: site '{site}' traced more than the "
+                f"{len(_CAPS)} calibrated encoder layers — the model has "
+                "quantized matmuls outside the encoder stack (supported: "
+                "plain/Rank/Residual ViT encoders)")
+        _SITE_IDX[site] = i + 1
+        a, b = _SITE_SLOT[site]
+        cap = _CAPS[i][a][b]
+    return fq_act(x, cap), fq_weight(w)

@@ -20,10 +20,10 @@ def mlp_forward(x: jax.Array, params: dict) -> jax.Array:
     case both matmuls see int8-grid fake-quantized operands (STE)."""
     from peekvit_tpu.ops.fake_quant import maybe_fq
 
-    x1, w1 = maybe_fq(x, params["fc1"]["kernel"])
+    x1, w1 = maybe_fq(x, params["fc1"]["kernel"], site="fc1")
     h = jnp.einsum("...d,de->...e", x1, w1) + params["fc1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
-    h2, w2 = maybe_fq(h, params["fc2"]["kernel"])
+    h2, w2 = maybe_fq(h, params["fc2"]["kernel"], site="fc2")
     return jnp.einsum("...e,ed->...d", h2, w2) + params["fc2"]["bias"]
 
 

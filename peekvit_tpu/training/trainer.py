@@ -119,7 +119,16 @@ class Trainer:
     # carry no fake-quant hooks — ``fused`` is coerced off); the eval step
     # fake-quantizes too, so per-budget val accuracy during QAT tracks the
     # metric that matters: the quantized model's.
-    qat: bool = False
+    # ``qat='static'`` trains against the STATIC-CAPS engine grid instead
+    # (fixed scale cap/127 with saturation per quantized site —
+    # quant_blocks._quant_rows(x, cap), the engine's
+    # ``calib_static_caps=True`` mode) and requires ``qat_caps``: the
+    # calibration tuple from inference.collect_activation_caps (or the
+    # residual stats collector), one ((attn_ln, attn_out), (mlp_ln,
+    # mlp_h)) per encoder layer. Clipped-STE gradients: zero where the
+    # engine would saturate.
+    qat: bool | str = False
+    qat_caps: tuple | None = None
     # Tensor-parallel TRAINING: shard the attention/MLP weights over the
     # mesh's ``model`` axis by the Megatron column/row rules
     # (parallel.shard_params(tensor_parallel=True); MoE expert stacks
@@ -162,6 +171,15 @@ class Trainer:
         self._opt_shardings = None
         self._param_shardings = None
         if self.qat:
+            if self.qat not in (True, "dynamic", "static"):
+                raise ValueError(
+                    f"qat={self.qat!r}: expected False, True/'dynamic', "
+                    "or 'static'")
+            if self.qat == "static" and self.qat_caps is None:
+                raise ValueError(
+                    "qat='static' requires qat_caps= (the per-layer static "
+                    "calibration tuple from "
+                    "inference.collect_activation_caps)")
             if (self.pipeline_stages and self.pipeline_stages > 1) or (
                     self.sequence_parallel_devices
                     and self.sequence_parallel_devices > 1):
@@ -307,11 +325,13 @@ class Trainer:
         param_shardings = self._param_shardings
 
         qat = self.qat
+        qat_caps = self.qat_caps if self.qat == "static" else None
 
         def loss_fn(params, x, y, budget, noise_value, rngs):
             from peekvit_tpu.ops.fake_quant import fake_quant
 
-            with fake_quant(qat):  # trace-time switch: no-op when off
+            # trace-time switch: no-op when off
+            with fake_quant(bool(qat), caps=qat_caps):
                 out, aux = apply_fn(params, x, budget, noise_value, rngs,
                                     train=True)
             metrics = {}
@@ -819,12 +839,14 @@ class Trainer:
         criterion = self.main_criterion
         out_fmt = self.output_format
         qat = self.qat
+        qat_caps = self.qat_caps if self.qat == "static" else None
 
         def step(params, x, y, budget, noise_value):
             from peekvit_tpu.ops.fake_quant import fake_quant
 
             rngs = {"noise": jax.random.key(0)}
-            with fake_quant(qat):  # QAT: validate the quantized forward
+            # QAT: validate the quantized forward
+            with fake_quant(bool(qat), caps=qat_caps):
                 out, aux = apply_fn(params, x, budget, noise_value, rngs,
                                     train=False)
             logits = _main_logits(out, out_fmt)

@@ -137,6 +137,161 @@ def test_qat_composes_with_gated_residualvit():
     assert float(m["total_loss"]) < first
 
 
+def test_static_fake_quant_matches_engine_grid():
+    """fq_act(x, cap) forward values == the static-caps engine's
+    _quant_rows(x, cap) dequant — fixed scale cap/127, saturation."""
+    from peekvit_tpu.ops.pallas.quant_blocks import _quant_rows
+
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.normal(size=(6, 16)) * 5.0, jnp.float32)
+    cap = 4.0  # saturates the tail: |x| > 4 clips to 127 * cap/127
+    xq, s = _quant_rows(x, cap)
+    np.testing.assert_array_equal(
+        np.asarray(fq_act(x, cap)),
+        np.asarray(xq.astype(jnp.float32) * s))
+    assert float(jnp.max(jnp.abs(x))) > cap  # the saturation branch fired
+
+
+def test_static_fake_quant_clipped_ste_gradients():
+    """Clipped STE: gradient identity inside |x| <= cap, zero where the
+    engine saturates (PACT-style)."""
+    x = jnp.asarray([-6.0, -2.0, 0.5, 3.0, 9.0], jnp.float32)
+    g = jax.grad(lambda t: jnp.sum(fq_act(t, 4.0)))(x)
+    np.testing.assert_array_equal(np.asarray(g),
+                                  np.asarray([0.0, 1.0, 1.0, 1.0, 0.0]))
+
+
+def test_qat_static_trainer_runs_and_validates_caps():
+    from peekvit_tpu.inference import collect_qat_caps
+
+    model = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        seed=21,
+    )
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+    caps = collect_qat_caps(model, x)
+    assert len(caps) == 2 and len(caps[0]) == 2 and len(caps[0][0]) == 2
+
+    t = Trainer(model=model, optimizer=Adam(lr=3e-3), qat="static",
+                qat_caps=caps)
+    assert t.fused is False
+    first = None
+    for i in range(25):
+        m = t.train_step(x, y, step_idx=i)
+        if first is None:
+            first = float(m["total_loss"])
+    assert float(m["total_loss"]) < first - 0.1
+
+    with pytest.raises(ValueError, match="qat_caps"):
+        Trainer(model=model, optimizer=Adam(lr=1e-3), qat="static")
+    with pytest.raises(ValueError, match="expected False"):
+        Trainer(model=model, optimizer=Adam(lr=1e-3), qat="int4")
+
+
+def test_qat_static_rejects_cap_or_model_mismatch():
+    """A caps tuple that does not line up with the model's encoder layers
+    fails the consumption check at trace time with a clear error, and
+    collect_qat_caps refuses families whose quantized matmuls fall
+    outside the four calibrated per-layer sites."""
+    from peekvit_tpu.inference import collect_qat_caps
+
+    model = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        seed=23,
+    )
+    x = jnp.asarray(np.random.default_rng(24).normal(size=(2, 16, 16, 3)),
+                    jnp.float32)
+    three_layer_caps = tuple(((1.0, 1.0), (1.0, 1.0)) for _ in range(3))
+    apply_fn = model.apply_fn()
+    with pytest.raises(ValueError, match="consumed caps unevenly"):
+        with fake_quant(True, caps=three_layer_caps):
+            apply_fn(model.params, x, None, None, {}, train=False)
+
+    moe = build_model(
+        "moevit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5,
+             mlp_moes=[1, 2]),
+        seed=25,
+    )
+    with pytest.raises(NotImplementedError, match="static"):
+        collect_qat_caps(moe, x)
+
+
+def test_qat_static_composes_with_gated_residualvit():
+    """Static caps from the residual stats collector drive a gated
+    ResidualViT fine-tune (caps consumed once per encoder layer through
+    the masked forward)."""
+    from peekvit_tpu.inference import collect_qat_caps
+
+    model = build_model(
+        "residualvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             add_budget_token="learnable"),
+        seed=26,
+    )
+    rng = np.random.default_rng(27)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 8), jnp.int32)
+    caps = collect_qat_caps(model, x, budget=0.6)
+    t = Trainer(model=model, optimizer=Adam(lr=3e-3), qat="static",
+                qat_caps=caps)
+    first = None
+    for i in range(15):
+        m = t.train_step(x, y, budget=0.6, step_idx=i)
+        if first is None:
+            first = float(m["total_loss"])
+    assert float(m["total_loss"]) < first
+
+
+def test_qat_static_beats_plain_through_static_caps_engine():
+    """The static analogue of the dynamic end-to-end claim: fine-tune the
+    same init plain vs qat='static', recalibrate caps on the trained
+    weights (the production flow), and serve BOTH through the
+    static-caps int8 forward — the QAT weights must score a lower
+    engine-path loss. Calibrated at percentile 95 so the caps actually
+    saturate part of the activation tail (the regime static QAT is for;
+    at 99.9 on this tiny fixture nothing clips and the two fine-tunes
+    tie). Deterministic: fixed seeds throughout."""
+    from peekvit_tpu.inference import (
+        collect_qat_caps,
+        quantize_vit_params,
+        vit_forward_quant,
+    )
+
+    args = dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+                hidden_dim=32, mlp_dim=64, num_classes=5)
+    rng = np.random.default_rng(28)
+    x = jnp.asarray(rng.normal(size=(32, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 32), jnp.int32)
+
+    losses = {}
+    for mode in ("plain", "static"):
+        model = build_model("vit", args, seed=29)
+        caps0 = collect_qat_caps(model, x, percentile=95.0)
+        t = Trainer(model=model, optimizer=Adam(lr=3e-3), fused=False,
+                    qat=("static" if mode == "static" else False),
+                    qat_caps=(caps0 if mode == "static" else None))
+        for i in range(40):
+            t.train_step(x, y, step_idx=i)
+        caps = collect_qat_caps(model, x, percentile=95.0)
+        logits = vit_forward_quant(
+            quantize_vit_params(model.params), x, patch_size=8,
+            num_heads=2, compute_dtype=jnp.float32, interpret=True,
+            caps=caps)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        losses[mode] = float(-jnp.mean(logp[jnp.arange(32), y]))
+    assert losses["static"] < losses["plain"], losses
+
+
 def test_qat_beats_plain_finetune_through_the_int8_engine():
     """The textbook QAT claim, end to end on the REAL engine path: train
     the same init twice (identical data/steps/lr; one plain, one qat),

@@ -105,6 +105,22 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert np.asarray(logits).shape == (2, 10)
 
 
+def test_train_qat_static_entry(tmp_path):
+    """training.qat=static through the CLI: the entry calibrates caps on
+    the first training images (the printed layer count) and the run
+    completes with decreasing loss."""
+    import ast
+
+    res = _run_train(tmp_path, ["training.qat=static",
+                                "training.qat_calib_images=16"])
+    exp = res["experiment_dir"]
+    with open(os.path.join(exp, "log.txt")) as f:
+        lines = [ast.literal_eval(line) for line in f]
+    losses = [l["train/total_loss"] for l in lines
+              if "train/total_loss" in l]
+    assert losses[-1] < losses[0]
+
+
 def test_multirun_expansion():
     from train import expand_multirun
 

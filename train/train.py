@@ -167,6 +167,35 @@ def train(cfg) -> dict:
     mesh = (make_hybrid_mesh(n_model=n_model)
             if len(jax.devices()) > 1 and pipeline_stages <= 1
             and sp_devices <= 1 else None)
+
+    # --- QAT: ``training.qat: true`` trains against the DYNAMIC int8
+    # engine grid; ``training.qat: static`` against the static-caps grid,
+    # calibrated here on the first training images (same collectors the
+    # engine's calib_static_caps mode uses; knobs training.qat_calib_images
+    # / training.qat_percentile)
+    qat = tr.get("qat") or False
+    qat_caps = None
+    if qat == "static":
+        import numpy as np
+
+        from peekvit_tpu.inference import collect_qat_caps
+
+        n_calib = int(tr.get("qat_calib_images") or 64)
+        calib = []
+        for bx, _ in train_loader:
+            calib.append(np.asarray(bx))
+            if sum(c.shape[0] for c in calib) >= n_calib:
+                break
+        calib = np.concatenate(calib, axis=0)[:n_calib]
+        tb = tr.get("train_budget")
+        qat_caps = collect_qat_caps(
+            model, calib,
+            percentile=float(tr.get("qat_percentile") or 99.9),
+            budget=float(tb) if isinstance(tb, (int, float)) else 1.0)
+        print(f"qat=static: calibrated {len(qat_caps)} layer caps on "
+              f"{calib.shape[0]} images", flush=True)
+    elif qat:
+        qat = True
     trainer = Trainer(
         model=model,
         optimizer=optimizer,
@@ -187,7 +216,8 @@ def train(cfg) -> dict:
         and mesh is not None,
         fsdp_sharded_params=bool(tr.get("fsdp_sharded_params"))
         and mesh is not None,
-        qat=bool(tr.get("qat")),
+        qat=qat,
+        qat_caps=qat_caps,
         remat=bool(tr.get("remat")),
         tensor_parallel=bool(tr.get("tensor_parallel"))
         and mesh is not None,
