@@ -252,6 +252,34 @@ def test_qat_static_composes_with_gated_residualvit():
     assert float(m["total_loss"]) < first
 
 
+def test_qat_static_composes_with_rankvit_budget():
+    """Static caps from the full-token calibrator drive a RankViT
+    fine-tune at a reduced budget: the mask-cascade training forward
+    still quantizes each encoder site exactly once per layer, so the
+    trace-order cap assignment holds under token ranking."""
+    from peekvit_tpu.inference import collect_qat_caps
+
+    model = build_model(
+        "rankvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5,
+             rankvit_layers=[0, 1]),
+        seed=31,
+    )
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 8), jnp.int32)
+    caps = collect_qat_caps(model, x)
+    t = Trainer(model=model, optimizer=Adam(lr=3e-3), qat="static",
+                qat_caps=caps)
+    first = None
+    for i in range(15):
+        m = t.train_step(x, y, budget=0.5, step_idx=i)
+        if first is None:
+            first = float(m["total_loss"])
+    assert float(m["total_loss"]) < first
+
+
 def test_qat_static_beats_plain_through_static_caps_engine():
     """The static analogue of the dynamic end-to-end claim: fine-tune the
     same init plain vs qat='static', recalibrate caps on the trained
