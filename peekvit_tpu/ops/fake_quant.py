@@ -48,10 +48,15 @@ import jax.numpy as jnp
 
 _ENABLED = False
 _CAPS = None
+_SMOOTH = None
 _SITE_IDX = None
 
 # site name -> index into the per-layer ((a1, a2), (m1, m2)) caps tuple
 _SITE_SLOT = {"qkv": (0, 0), "out": (0, 1), "fc1": (1, 0), "fc2": (1, 1)}
+# SmoothQuant equalization applies only at the two LN-OUTPUT sites (the
+# engine bakes s into the LN affine + the following weight's rows:
+# inference.smooth_vit_params); 'out'/'fc2' inputs are not LN outputs.
+_SITE_SMOOTH = {"qkv": 0, "fc1": 1}
 
 
 def enabled() -> bool:
@@ -59,7 +64,7 @@ def enabled() -> bool:
 
 
 @contextlib.contextmanager
-def fake_quant(on: bool = True, caps=None):
+def fake_quant(on: bool = True, caps=None, smoothing=None):
     """Enable fake quantization for model applies TRACED in this block.
 
     ``caps``: optional static calibration tuple (one
@@ -67,25 +72,52 @@ def fake_quant(on: bool = True, caps=None):
     inference.collect_activation_caps / the residual stats collector).
     With caps the activation grid is the static-caps engine's; without,
     the dynamic per-token engine's.
+
+    ``smoothing``: optional per-layer ``(s1, s2)`` SmoothQuant
+    equalization vectors (inference.compute_smoothing_vectors / the
+    residual stats collector). At the two LN-output sites the hook then
+    fake-quantizes ``x / s`` against ``w * s`` — the exact-in-fp
+    transform the engine bakes into its weights at calibration
+    (inference.smooth_vit_params), so training sees the SMOOTHED grid
+    the engine's default ``calib_images=`` mode actually serves
+    (VERDICT r4 #7). Composes with ``caps`` (collect them on the
+    smoothed model: inference.collect_qat_calibration).
     """
-    global _ENABLED, _CAPS, _SITE_IDX
-    prev = (_ENABLED, _CAPS, _SITE_IDX)
+    global _ENABLED, _CAPS, _SMOOTH, _SITE_IDX
+    prev = (_ENABLED, _CAPS, _SMOOTH, _SITE_IDX)
     _ENABLED = bool(on)
     _CAPS = tuple(caps) if (on and caps is not None) else None
-    _SITE_IDX = {s: 0 for s in _SITE_SLOT} if _CAPS is not None else None
+    _SMOOTH = tuple(smoothing) if (on and smoothing is not None) else None
+    if _CAPS is not None and _SMOOTH is not None \
+            and len(_CAPS) != len(_SMOOTH):
+        _ENABLED, _CAPS, _SMOOTH, _SITE_IDX = prev
+        raise ValueError(
+            f"fake_quant: caps cover {len(caps)} layers but smoothing "
+            f"covers {len(smoothing)} — calibrate both on the same model "
+            "(inference.collect_qat_calibration returns a matched pair)")
+    _SITE_IDX = ({s: 0 for s in _SITE_SLOT}
+                 if (_CAPS is not None or _SMOOTH is not None) else None)
     try:
         yield
-        if _CAPS is not None:
+        if _SITE_IDX is not None:
+            n = len(_CAPS) if _CAPS is not None else len(_SMOOTH)
             used = set(_SITE_IDX.values())
-            if used not in ({0}, {len(_CAPS)}):
+            # The context wraps the model apply at TRACE time (inside the
+            # Trainer's jitted loss), so whenever this block actually ran
+            # the hooks must have fired: zero consumption means the traced
+            # forward never reached the maybe_fq sites (e.g. a Pallas
+            # path without hooks) and would silently train UNQUANTIZED
+            # (ADVICE r4 #3 — {0} is an error, not a cache-hit artifact:
+            # on a jit cache hit the wrapped body never executes at all).
+            if used != {n}:
                 raise ValueError(
-                    "static-caps QAT consumed caps unevenly "
-                    f"(per-site counts {_SITE_IDX}, {len(_CAPS)} layer caps): "
+                    "static-caps/smoothed QAT consumed caps unevenly "
+                    f"(per-site counts {_SITE_IDX}, {n} layer entries): "
                     "the model's quantized matmuls are not exactly the four "
-                    "encoder-layer sites the caps were calibrated for "
+                    "encoder-layer sites the calibration covers "
                     "(supported: plain/Rank/Residual ViT encoders)")
     finally:
-        _ENABLED, _CAPS, _SITE_IDX = prev
+        _ENABLED, _CAPS, _SMOOTH, _SITE_IDX = prev
 
 
 def _ste(x32, q):
@@ -127,21 +159,31 @@ def maybe_fq(x: jax.Array, w: jax.Array, site: str | None = None):
     """(x, w) fake-quantized when QAT is on, unchanged otherwise. Called
     at the exact matmuls the int8 engine quantizes: qkv / out-proj
     (ops/attention.py, sites 'qkv'/'out') and fc1 / fc2 (ops/mlp.py,
-    sites 'fc1'/'fc2'). Under static caps the per-site call order during
-    tracing assigns the layer index (encoder layers trace in order in
-    every model family)."""
+    sites 'fc1'/'fc2'). Under static caps / smoothing the per-site call
+    order during tracing assigns the layer index (encoder layers trace
+    in order in every model family).
+
+    With smoothing, the LN-output sites fake-quantize the equalized pair
+    ``(x / s, w * s)`` — exact in fp for the product, but the quant grid
+    becomes the smoothed engine's (see :func:`fake_quant`)."""
     if not _ENABLED:
         return x, w
     cap = None
-    if _CAPS is not None and site is not None:
+    if _SITE_IDX is not None and site is not None:
+        n = len(_CAPS) if _CAPS is not None else len(_SMOOTH)
         i = _SITE_IDX[site]
-        if i >= len(_CAPS):
+        if i >= n:
             raise ValueError(
-                f"static-caps QAT: site '{site}' traced more than the "
-                f"{len(_CAPS)} calibrated encoder layers — the model has "
+                f"static-caps/smoothed QAT: site '{site}' traced more than "
+                f"the {n} calibrated encoder layers — the model has "
                 "quantized matmuls outside the encoder stack (supported: "
                 "plain/Rank/Residual ViT encoders)")
         _SITE_IDX[site] = i + 1
-        a, b = _SITE_SLOT[site]
-        cap = _CAPS[i][a][b]
+        if _CAPS is not None:
+            a, b = _SITE_SLOT[site]
+            cap = _CAPS[i][a][b]
+        if _SMOOTH is not None and site in _SITE_SMOOTH:
+            s = jnp.asarray(_SMOOTH[i][_SITE_SMOOTH[site]], jnp.float32)
+            x = (x.astype(jnp.float32) / s).astype(x.dtype)
+            w = (w.astype(jnp.float32) * s[:, None]).astype(w.dtype)
     return fq_act(x, cap), fq_weight(w)

@@ -129,6 +129,13 @@ class Trainer:
     # engine would saturate.
     qat: bool | str = False
     qat_caps: tuple | None = None
+    # SmoothQuant equalization vectors (one (s1, s2) pair per encoder
+    # layer, from inference.collect_qat_calibration): the LN-output sites
+    # fake-quantize (x/s, w*s) so training sees the SMOOTHED grid the
+    # engine's default calib_images= mode serves (exact in fp for the
+    # matmul product). Pair with qat='static' and caps collected on the
+    # smoothed model — collect_qat_calibration returns the matched pair.
+    qat_smoothing: tuple | None = None
     # Tensor-parallel TRAINING: shard the attention/MLP weights over the
     # mesh's ``model`` axis by the Megatron column/row rules
     # (parallel.shard_params(tensor_parallel=True); MoE expert stacks
@@ -180,6 +187,12 @@ class Trainer:
                     "qat='static' requires qat_caps= (the per-layer static "
                     "calibration tuple from "
                     "inference.collect_activation_caps)")
+            if (self.qat_smoothing is not None and self.qat_caps is not None
+                    and len(self.qat_smoothing) != len(self.qat_caps)):
+                raise ValueError(
+                    f"qat_smoothing covers {len(self.qat_smoothing)} layers "
+                    f"but qat_caps {len(self.qat_caps)} — calibrate both "
+                    "together (inference.collect_qat_calibration)")
             if (self.pipeline_stages and self.pipeline_stages > 1) or (
                     self.sequence_parallel_devices
                     and self.sequence_parallel_devices > 1):
@@ -326,12 +339,14 @@ class Trainer:
 
         qat = self.qat
         qat_caps = self.qat_caps if self.qat == "static" else None
+        qat_smoothing = self.qat_smoothing
 
         def loss_fn(params, x, y, budget, noise_value, rngs):
             from peekvit_tpu.ops.fake_quant import fake_quant
 
             # trace-time switch: no-op when off
-            with fake_quant(bool(qat), caps=qat_caps):
+            with fake_quant(bool(qat), caps=qat_caps,
+                            smoothing=qat_smoothing):
                 out, aux = apply_fn(params, x, budget, noise_value, rngs,
                                     train=True)
             metrics = {}
@@ -840,13 +855,15 @@ class Trainer:
         out_fmt = self.output_format
         qat = self.qat
         qat_caps = self.qat_caps if self.qat == "static" else None
+        qat_smoothing = self.qat_smoothing
 
         def step(params, x, y, budget, noise_value):
             from peekvit_tpu.ops.fake_quant import fake_quant
 
             rngs = {"noise": jax.random.key(0)}
             # QAT: validate the quantized forward
-            with fake_quant(bool(qat), caps=qat_caps):
+            with fake_quant(bool(qat), caps=qat_caps,
+                            smoothing=qat_smoothing):
                 out, aux = apply_fn(params, x, budget, noise_value, rngs,
                                     train=False)
             logits = _main_logits(out, out_fmt)

@@ -347,3 +347,158 @@ def test_qat_beats_plain_finetune_through_the_int8_engine():
         logp = jax.nn.log_softmax(logits, axis=-1)
         losses[mode] = float(-jnp.mean(logp[jnp.arange(32), y]))
     assert losses["qat"] < losses["plain"], losses
+
+
+def test_smoothed_fake_quant_equals_engine_baked_smoothing():
+    """The smoothing hook (x/s, w*s at the LN-output sites) must see the
+    SAME grid as the engine's baked-in fold (smooth_vit_params divides
+    the LN affines and scales the weight rows): tracing the RAW params
+    under fake_quant(smoothing=s) matches tracing the SMOOTHED params
+    under fake_quant() to fp-reassociation tolerance ((a*b)/s vs
+    a*(b/s)), with caps collected on the smoothed model consumed
+    identically by both."""
+    from peekvit_tpu.inference import (
+        collect_qat_calibration,
+        smooth_vit_params,
+    )
+
+    model = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        seed=31,
+    )
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    # the classifier head is zero-initialized — randomize it so logits
+    # actually reflect the encoder's (quantized) token values
+    model.params["head"]["kernel"] = jnp.asarray(
+        rng.normal(size=(32, 5)) * 0.2, jnp.float32)
+    caps, smoothing = collect_qat_calibration(model, x, percentile=95.0)
+    assert len(caps) == 2 and len(smoothing) == 2
+    assert smoothing[0][0].shape == (32,)
+
+    apply_fn = model.apply_fn()
+    with fake_quant(True, caps=caps, smoothing=smoothing):
+        hook_out, _ = apply_fn(model.params, x, None, None, {}, train=False)
+
+    smoothed = smooth_vit_params(model.params, smoothing)
+    with fake_quant(True, caps=caps):
+        baked_out, _ = apply_fn(smoothed, x, None, None, {}, train=False)
+    np.testing.assert_allclose(np.asarray(hook_out), np.asarray(baked_out),
+                               rtol=2e-4, atol=2e-4)
+
+    # and the smoothed quantization really differs from the unsmoothed one
+    with fake_quant(True, caps=caps):
+        unsmoothed_out, _ = apply_fn(model.params, x, None, None, {},
+                                     train=False)
+    assert float(jnp.max(jnp.abs(hook_out - unsmoothed_out))) > 1e-6
+
+
+def test_fake_quant_zero_consumption_is_an_error():
+    """A calibrated context whose wrapped region never reaches the
+    maybe_fq hooks would silently train UNQUANTIZED — {0} consumption is
+    rejected (ADVICE r4 #3; the context runs at trace time, so a jit
+    cache hit never even enters it)."""
+    caps = tuple(((1.0, 1.0), (1.0, 1.0)) for _ in range(2))
+    with pytest.raises(ValueError, match="consumed caps unevenly"):
+        with fake_quant(True, caps=caps):
+            pass  # no model apply traced
+
+
+def test_fake_quant_caps_smoothing_length_mismatch_errors():
+    caps = tuple(((1.0, 1.0), (1.0, 1.0)) for _ in range(2))
+    smoothing = tuple((np.ones(8, np.float32), np.ones(8, np.float32))
+                      for _ in range(3))
+    with pytest.raises(ValueError, match="smoothing"):
+        with fake_quant(True, caps=caps, smoothing=smoothing):
+            pass
+    model = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        seed=33,
+    )
+    with pytest.raises(ValueError, match="qat_smoothing"):
+        Trainer(model=model, optimizer=Adam(lr=1e-3), qat="static",
+                qat_caps=caps, qat_smoothing=smoothing)
+
+
+def test_qat_calibration_registry_rejects_unsupported_families():
+    """Dispatch is an explicit class allowlist (ADVICE r4 #5), not name
+    substrings: EncDec-Residual (decoder blocks) is rejected even though
+    it walks and quacks like a ResidualViT."""
+    from peekvit_tpu.inference import collect_qat_calibration
+
+    encdec = build_model(
+        "encdecresidualvit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5,
+             residual_layers=["attention+mlp"] * 2, gate_type="sigmoid",
+             gate_bias=0.0, add_budget_token=True, decoder_num_layers=1),
+        seed=34,
+    )
+    x = jnp.asarray(np.random.default_rng(35).normal(size=(2, 16, 16, 3)),
+                    jnp.float32)
+    with pytest.raises(NotImplementedError, match="calibrated qat"):
+        collect_qat_calibration(encdec, x)
+
+
+def test_qat_smoothed_static_trainer_runs_and_loss_decreases():
+    from peekvit_tpu.inference import collect_qat_calibration
+
+    model = build_model(
+        "vit",
+        dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+             hidden_dim=32, mlp_dim=64, num_classes=5),
+        seed=36,
+    )
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+    caps, smoothing = collect_qat_calibration(model, x, percentile=95.0)
+    t = Trainer(model=model, optimizer=Adam(lr=3e-3), qat="static",
+                qat_caps=caps, qat_smoothing=smoothing)
+    first = None
+    for i in range(25):
+        m = t.train_step(x, y, step_idx=i)
+        if first is None:
+            first = float(m["total_loss"])
+    assert float(m["total_loss"]) < first - 0.1
+
+
+def test_qat_smoothed_static_beats_plain_through_calibrated_engine():
+    """The SmoothQuant-aware analogue of the static e2e claim (VERDICT
+    r4 #7): fine-tune the same init plain vs smoothed-static QAT and
+    serve BOTH through the engine's DEFAULT calibrated int8 mode
+    (calib_images= + calib_static_caps=True — SmoothQuant baked into the
+    weights, caps on the smoothed model, recalibrated on the trained
+    weights as production does). The QAT weights must score a lower
+    engine-path loss. Percentile 95 so the caps saturate part of the
+    tail. Deterministic: fixed seeds throughout."""
+    from peekvit_tpu.inference import InferenceEngine, collect_qat_calibration
+
+    args = dict(image_size=16, patch_size=8, num_layers=2, num_heads=2,
+                hidden_dim=32, mlp_dim=64, num_classes=5)
+    rng = np.random.default_rng(38)
+    x = jnp.asarray(rng.normal(size=(32, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, 32), jnp.int32)
+
+    losses = {}
+    for mode in ("plain", "smoothed"):
+        model = build_model("vit", args, seed=39)
+        caps0, smooth0 = collect_qat_calibration(model, x, percentile=95.0)
+        t = Trainer(model=model, optimizer=Adam(lr=3e-3), fused=False,
+                    qat=("static" if mode == "smoothed" else False),
+                    qat_caps=(caps0 if mode == "smoothed" else None),
+                    qat_smoothing=(smooth0 if mode == "smoothed" else None))
+        for i in range(40):
+            t.train_step(x, y, step_idx=i)
+        eng = InferenceEngine(model, compute_dtype=jnp.float32,
+                              interpret=True, quantized=True,
+                              calib_images=x, calib_percentile=95.0,
+                              calib_static_caps=True)
+        logits = eng(x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        losses[mode] = float(-jnp.mean(logp[jnp.arange(32), y]))
+    assert losses["smoothed"] < losses["plain"], losses

@@ -175,10 +175,14 @@ def train(cfg) -> dict:
     # / training.qat_percentile)
     qat = tr.get("qat") or False
     qat_caps = None
+    qat_smoothing = None
     if qat == "static":
         import numpy as np
 
-        from peekvit_tpu.inference import collect_qat_caps
+        from peekvit_tpu.inference import (
+            collect_qat_calibration,
+            collect_qat_caps,
+        )
 
         n_calib = int(tr.get("qat_calib_images") or 64)
         calib = []
@@ -188,12 +192,42 @@ def train(cfg) -> dict:
                 break
         calib = np.concatenate(calib, axis=0)[:n_calib]
         tb = tr.get("train_budget")
-        qat_caps = collect_qat_caps(
-            model, calib,
-            percentile=float(tr.get("qat_percentile") or 99.9),
-            budget=float(tb) if isinstance(tb, (int, float)) else 1.0)
+        kw = dict(percentile=float(tr.get("qat_percentile") or 99.9),
+                  budget=float(tb) if isinstance(tb, (int, float)) else 1.0)
+        # Default: SmoothQuant-aware calibration — caps collected on the
+        # smoothed model and the smoothing vectors trained through, so the
+        # grid trained against IS the grid the engine's default
+        # calib_images= + calib_static_caps mode serves (VERDICT r4 #7).
+        # training.qat_smooth=false reverts to unsmoothed caps (the
+        # engine's calibration-free static mode).
+        if tr.get("qat_smooth", True):
+            qat_caps, qat_smoothing = collect_qat_calibration(model, calib,
+                                                              **kw)
+        else:
+            qat_caps = collect_qat_caps(model, calib, **kw)
+        if jax.process_count() > 1:
+            # Calibration batches come from THIS host's data shard; without
+            # a broadcast each host would train against a different quant
+            # grid (inconsistent local grads under synced params —
+            # ADVICE r4 #4). Host 0's calibration wins everywhere.
+            from jax.experimental import multihost_utils
+
+            qat_caps = jax.tree.map(
+                float, multihost_utils.broadcast_one_to_all(qat_caps))
+            if qat_smoothing is not None:
+                qat_smoothing = jax.tree.map(
+                    np.asarray,
+                    multihost_utils.broadcast_one_to_all(qat_smoothing))
         print(f"qat=static: calibrated {len(qat_caps)} layer caps on "
-              f"{calib.shape[0]} images", flush=True)
+              f"{calib.shape[0]} images"
+              + (" (SmoothQuant-aware)" if qat_smoothing is not None else ""),
+              flush=True)
+        # NOTE: caps/smoothing are calibrated ONCE on the initial weights
+        # and frozen for the run — the intended regime is the reference's
+        # short fine-tune recipes (ADVICE r4 #2); production serving
+        # recalibrates on the trained weights regardless (validate/test.py
+        # calib knobs), and long fine-tunes should restart calibration by
+        # resuming with a fresh qat calibration pass.
     elif qat:
         qat = True
     trainer = Trainer(
@@ -218,6 +252,7 @@ def train(cfg) -> dict:
         and mesh is not None,
         qat=qat,
         qat_caps=qat_caps,
+        qat_smoothing=qat_smoothing,
         remat=bool(tr.get("remat")),
         tensor_parallel=bool(tr.get("tensor_parallel"))
         and mesh is not None,
