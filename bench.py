@@ -210,6 +210,44 @@ def main(batch_size: int = 256, reps: int = 20, also_bs2048: bool = True):
         result["value_bs2048"] = round(ips2048, 1)
         result["vs_baseline_bs2048"] = round(ips2048 / roofline, 4)
     if on_tpu:
+        # int8 sidecar (VERDICT r4 #3): the serving path that BEATS the
+        # bf16 roofline — w8a8 with SmoothQuant + static calibration caps
+        # (the engine's throughput mode; its own double-bounded ceiling is
+        # benchmarks/int8_ceiling.json). Guarded like the train rider so
+        # the bf16 headline survives any quant-path failure.
+        try:
+            from peekvit_tpu.inference import InferenceEngine
+
+            calib = jax.random.normal(jax.random.key(7),
+                                      (32, 224, 224, 3), jnp.float32)
+            eng = InferenceEngine(model, quantized=True, calib_images=calib,
+                                  calib_static_caps=True)
+
+            def int8_step(params, x, carry):
+                # same embed-bias loop-carry as the bf16 step (no 77 MB
+                # input copy per timed iteration)
+                bump = (carry * 0).astype(params["_embed_img_bias"].dtype)
+                p2 = dict(params,
+                          _embed_img_bias=params["_embed_img_bias"] + bump)
+                return jnp.sum(eng._fn(p2, x))
+
+            x8 = jax.random.normal(jax.random.key(1),
+                                   (batch_size, 224, 224, 3), jnp.bfloat16)
+            vals = sorted(
+                batch_size
+                / device_seconds_per_iter(int8_step, (eng.params, x8), reps)
+                for _ in range(3))
+            int8_ips = vals[len(vals) // 2]
+            result["int8_value"] = round(int8_ips, 1)
+            result["int8_vs_baseline"] = round(int8_ips / roofline, 4)
+            result["int8_variant"] = "w8a8 SmoothQuant + static caps"
+            result["int8_parity"] = (
+                "approximate serving mode: N=512 top-1 agreement vs fp32 "
+                "0.89-0.93 on the adversarial random-init outlier fixture "
+                "(a lower bound; top-5 containment >= 0.998, Spearman >= "
+                "0.998) — benchmarks/parity_agreement.json")
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"int8 rider skipped: {e}", file=sys.stderr, flush=True)
         # train throughput rider (ViT-B/16 bs256 fwd+bwd+adam, the shipped
         # split fused path): pins the training number in the driver-run
         # artifact; guarded so the eval headline survives any train-path

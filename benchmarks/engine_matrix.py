@@ -116,6 +116,19 @@ def main():
 
         emit(tag, measure(step, (eng.params, x)))
 
+    # ResidualViT token-compaction serving (round 5, VERDICT r4 #1): the
+    # opt-in physical-drop mode — per-budget capacity min(1, b + 0.125),
+    # top-capacity tokens by gate value gathered after each gate
+    eng = InferenceEngine(res, compact=True)
+    for b in (0.5, 0.25):
+        eng(x[:8], budget=b)
+        fn = eng._compact_fns[b]
+
+        def step(params, xx, carry, f=fn, bb=b):
+            return jnp.sum(f(params, xx + carry * 0, jnp.float32(bb)))
+
+        emit(f"residual_compact@{b}", measure(step, (eng.params, x)))
+
     # EE / EncDec classification engines
     for name, extra in (
         ("eeresidualvit", {}),
@@ -140,6 +153,15 @@ def main():
         return jnp.sum(fn(params, xx + carry * 0))
 
     emit("moevit(1/2/4)", measure(step_moe, (eng.params, x)))
+
+    # routed top-1 MoE (round 5, VERDICT r4 #2): one expert's FLOPs per
+    # token via capacity dispatch instead of the reference's dense E x
+    engr = InferenceEngine(moe, routed=2.0)
+
+    def step_moer(params, xx, carry, fn=engr._fn):
+        return jnp.sum(fn(params, xx + carry * 0))
+
+    emit("moevit_routed(1/2/4)", measure(step_moer, (engr.params, x)))
 
     ada = bf16(build_model("adavit", B16))
     enga = InferenceEngine(ada)

@@ -1478,11 +1478,72 @@ def rankvit_forward_quant(qparams, images, *, budget: float, patch_size: int,
     return _classify(qparams, tokens, c, cast, ln_eps)
 
 
+def _routed_moe_mlp(z, gating, experts, cast, capacity_factor: float):
+    """Top-1 ROUTED MoE MLP dispatch (VERDICT r4 #2): compute each token's
+    expert ONCE instead of the reference's dense every-expert execution
+    (/root/reference/models/moevit.py:49-61 pays E x FLOPs for a one-hot
+    combine).
+
+    TPU-shaped dispatch — gather-only, no (T, d) scatter: tokens sort by
+    expert id (stable lax.sort), per-expert segments gather into an
+    (E, cap) buffer with ``cap = ceil(T/E * capacity_factor)`` rows each,
+    the experts run as ONE batched einsum over the leading expert axis
+    (XLA maps it to full-size MXU matmuls), and each token gathers its
+    own row back. The eval gate is one_hot(argmax) (ops/gates.py
+    GumbelSoftmax eval semantics), so the routed result equals the dense
+    combine EXACTLY whenever every expert's load fits its capacity;
+    overflow tokens (lowest priority = latest in token order, the GShard
+    position-in-expert convention) contribute zero instead of their
+    expert output — measured as an overflow rate, not a silent error
+    (tests/test_moe_routed.py). Gate math stays fp32: argmax selection is
+    discontinuous and bf16 near-ties would swap whole expert outputs."""
+    b, n, d = z.shape
+    t = b * n
+    e_total = experts["fc1_kernel"].shape[0]
+    cap = int(np.ceil(t / e_total * capacity_factor))
+    zf = z.reshape(t, d)
+    gp = gating["gate"]
+    scores = (zf.astype(jnp.float32) @ gp["kernel"].astype(
+        jnp.float32).reshape(d, e_total)
+        + gp["bias"].astype(jnp.float32).reshape(e_total))
+    eid = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (T,)
+
+    order = jnp.argsort(eid, stable=True)                # tokens by expert
+    counts = jnp.bincount(eid, length=e_total)           # (E,)
+    offsets = jnp.cumsum(counts) - counts                # exclusive
+    # buffer slot (e, c) <- sorted position offsets[e] + c (c < counts[e])
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (e_total, cap), 1)
+    slot_valid = cidx < counts[:, None]
+    src = jnp.where(slot_valid, offsets[:, None] + cidx, 0)
+    buf = jnp.take(zf, jnp.take(order, src.reshape(-1)), axis=0)
+    buf = jnp.where(slot_valid.reshape(-1)[:, None], buf,
+                    jnp.zeros((), buf.dtype)).reshape(e_total, cap, d)
+
+    h = jax.nn.gelu(
+        jnp.einsum("ecd,edm->ecm", buf, cast(experts["fc1_kernel"]))
+        + cast(experts["fc1_bias"])[:, None, :], approximate=False)
+    out = jnp.einsum("ecm,emd->ecd", h, cast(experts["fc2_kernel"])) \
+        + cast(experts["fc2_bias"])[:, None, :]
+
+    # token t's row: rank within its expert = position in sorted order
+    # minus the expert's segment offset (inverse perm via an int scatter)
+    inv = jnp.zeros((t,), jnp.int32).at[order].set(
+        jnp.arange(t, dtype=jnp.int32))
+    rank = inv - offsets[eid]
+    tok_valid = rank < cap
+    flat = out.reshape(e_total * cap, d)
+    idx = jnp.clip(eid * cap + rank, 0, e_total * cap - 1)
+    combined = jnp.where(tok_valid[:, None], jnp.take(flat, idx, axis=0),
+                         jnp.zeros((), flat.dtype))
+    return combined.reshape(b, n, d).astype(z.dtype)
+
+
 def moevit_forward_fused(params, images, *, patch_size: int,
                          num_heads: int, mlp_moes=None, attn_moes=None,
                          num_layers: int = 0, ln_eps: float = 1e-5,
                          compute_dtype=jnp.bfloat16,
                          interpret: bool = False,
+                         routed_capacity: Optional[float] = None,
                          noise_layer: Optional[int] = None,
                          noise_type: str = "gaussian", noise_value=None,
                          noise_rng=None) -> jax.Array:
@@ -1494,7 +1555,15 @@ def moevit_forward_fused(params, images, *, patch_size: int,
     — every expert computes, a one-hot argmax gate (eval GumbelSoftmax
     semantics, ops/gates.py) selects via einsum 'ebsd,bse->bsd', which XLA
     maps to batched MXU matmuls. Classifier reads token 0 only (the MoE
-    model's quirk, moevit.py:300-311)."""
+    model's quirk, moevit.py:300-311).
+
+    ``routed_capacity`` (VERDICT r4 #2, opt-in): MLP-MoE sublayers switch
+    to top-1 capacity dispatch (:func:`_routed_moe_mlp`) — one expert's
+    FLOPs per token instead of E x. Attention MoEs stay dense even when
+    routed: every expert's K/V must span ALL tokens (a token attends over
+    the whole sequence under its own expert's projections), so routing
+    could only thin the per-token q/out-proj while keeping E full K/V
+    sweeps — no engine win at the reference's scales."""
     from peekvit_tpu.ops.attention import attention_core
     from peekvit_tpu.ops.pallas.fused_attention import (
         fold_ln_into_weights,
@@ -1604,6 +1673,13 @@ def moevit_forward_fused(params, images, *, patch_size: int,
                                 + cast(m0["fc1_bias"]), approximate=False)
                 tokens = tokens + (h @ cast(m0["fc2_kernel"])
                                    + cast(m0["fc2_bias"]))
+            elif routed_capacity is not None:
+                # routed top-1 dispatch: one expert's FLOPs per token
+                # instead of the reference's dense E x (opt-in engine
+                # mode; exact when every expert load fits capacity)
+                tokens = tokens + _routed_moe_mlp(
+                    z, mlp["gating_network"], mlp["experts"], cast,
+                    routed_capacity)
             else:
                 probs = gate_probs(z, mlp["gating_network"])
                 ex = mlp["experts"]
@@ -2067,6 +2143,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                               early_exits: bool = False,
                               recon: bool = False,
                               decoder_num_heads: Optional[int] = None,
+                              compact_caps: Optional[tuple] = None,
                               noise_layer: Optional[int] = None,
                               noise_type: str = "gaussian", noise_value=None,
                               noise_rng=None):
@@ -2091,8 +2168,31 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     kernels apply the mask*LN trick (:249-260) with gated tokens staying
     exactly zero. Block LN eps is 1e-6 (§7.12); the final encoder LN is
     the default 1e-5.
+
+    ``compact_caps`` (VERDICT r4 #1 — TOKEN COMPACTION, the opt-in mode
+    that turns gate sparsity into wall-clock): a per-layer tuple of
+    STATIC image-token capacities. After each gate, the top ``cap`` image
+    tokens BY GATE VALUE are physically gathered (jax.lax.top_k on the
+    fp32 mask, reference-stable tie-break) and the buffer shrinks to
+    ``s + cap + 1`` — every later matmul runs on the compacted width.
+    Slots beyond the survivor count carry mask 0 and value 0, which is
+    EXACTLY how the reference treats gated-off tokens (zero value, bias
+    key in attention — residualvit.py:249-260), so the only divergences
+    vs the exact masked path are (a) positive-gate tokens beyond the
+    capacity are dropped (lowest-gate first), and (b) the count of
+    zero-value bias-key slots the softmax sees is ``cap − survivors``
+    instead of ``N − survivors``. Approximate serving mode, int8-style:
+    agreement rates are measured per budget in
+    benchmarks/parity_agreement.json. ``budget`` stays traced (capacity
+    is the static knob). Incompatible with ``recon`` (compaction loses
+    token positions the decoder needs) and engine noise (layout changes
+    under the NoiseBlock) — the engine guards both.
     """
-    from peekvit_tpu.ops.pallas.fused_attention import masked_layer_block
+    from peekvit_tpu.ops.pallas.fused_attention import (
+        masked_attention_block,
+        masked_layer_block,
+        masked_mlp_block,
+    )
 
     cast = lambda t: t.astype(compute_dtype)  # noqa: E731
     c = num_class_tokens
@@ -2144,6 +2244,18 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             if pmean_axis is not None:  # WHOLE batch = across the dp mesh
                 cur_b = jax.lax.pmean(cur_b, pmean_axis)
             mask = jax.nn.relu(sig - (1.0 - cur_b))
+        if compact_caps is not None:
+            cap = int(compact_caps[_layer_ids(enc).index(i)])
+            if cap < img.shape[1]:
+                # physical compaction: keep the top-cap tokens by gate
+                # value (ties by lowest index — lax.top_k is stable, same
+                # tie-break as the rank engines); surplus slots arrive
+                # with mask 0 and become zero-value bias-key tokens below,
+                # the reference's own gated-off representation
+                scores = mask[..., 0]  # fp32 (B, n_img)
+                _, idx = jax.lax.top_k(scores, cap)
+                img = jnp.take_along_axis(img, idx[..., None], axis=1)
+                mask = jnp.take_along_axis(mask, idx[..., None], axis=1)
         last_mask = mask  # fp32 (B, N_img, 1): what linen's aux stores
         mask = mask.astype(compute_dtype)  # (B, N_img, 1)
 
@@ -2154,16 +2266,27 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
             [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
 
         at = lp["self_attention"]
-        tokens = masked_layer_block(
-            tokens, fwd_mask,
+        wargs = (
             cast(lp["ln_1"]["scale"]), cast(lp["ln_1"]["bias"]),
             cast(at["in_proj_kernel"]), cast(at["in_proj_bias"]),
             cast(at["out_proj_kernel"]), cast(at["out_proj_bias"]),
             cast(lp["ln_2"]["scale"]), cast(lp["ln_2"]["bias"]),
             cast(lp["mlp"]["fc1_kernel"]), cast(lp["mlp"]["fc1_bias"]),
             cast(lp["mlp"]["fc2_kernel"]), cast(lp["mlp"]["fc2_bias"]),
-            num_heads, 1e-6, interpret,
         )
+        if compact_caps is None or tokens.shape[1] >= _MERGED_MIN_TOKENS:
+            tokens = masked_layer_block(
+                tokens, fwd_mask, *wargs, num_heads, 1e-6, interpret)
+        else:
+            # few tokens after compaction: the split masked kernels
+            # amortize weight DMA better (same threshold as the rank
+            # engines' merged/split choice; the dense path keeps the
+            # merged kernel unconditionally — its numerics are the pinned
+            # parity reference)
+            tokens = masked_attention_block(
+                tokens, fwd_mask, *wargs[:6], num_heads, 1e-6, interpret)
+            tokens = masked_mlp_block(
+                tokens, fwd_mask, *wargs[6:], 1e-6, interpret)
         if early_exits:
             ln_p = enc[f"early_exit_heads_{i}_ln"]
             hd_p = enc[f"early_exit_heads_{i}_head"]
@@ -2221,6 +2344,30 @@ class InferenceEngine:
       the right mode for serving with a varying budget knob).
     """
 
+    @staticmethod
+    def _is_residual_module(module) -> bool:
+        return type(module).__name__ in (
+            "ResidualVisionTransformer",
+            "EEResidualVisionTransformer",
+            "ResidualVisionTransformerWithDecoder",
+        )
+
+    def _compact_caps_for(self, capacity: float):
+        """Per-layer static image-token capacities for ``compact`` mode:
+        ceil(capacity * N) rounded UP to a sublane multiple of 8 (free
+        slack — the masked kernels tile rows in groups of 8 anyway),
+        clamped to N. One value for every layer: the reference's gates
+        are independent per layer (no rank cascade), so a single capacity
+        bounds each layer's survivors. Returns None when the capacity
+        covers every token — the engine then runs the EXACT dense masked
+        path (bitwise with ``compact=None``)."""
+        module = self._module
+        n_img = (module.image_size // module.patch_size) ** 2
+        cap = max(8, -8 * (-int(np.ceil(capacity * n_img)) // 8))
+        if cap >= n_img:
+            return None
+        return (cap,) * module.num_layers
+
     def _jit(self, raw, n_scalar_args: int = 0):
         """jit the raw forward; with ``mesh``, shard-map it data-parallel.
 
@@ -2266,10 +2413,49 @@ class InferenceEngine:
                  calib_images=None, calib_percentile: float = 99.9,
                  calib_static_caps: bool = False,
                  mesh=None, ee_outputs: bool = False,
-                 recon_outputs: bool = False):
+                 recon_outputs: bool = False,
+                 compact: Any = None, compact_slack: float = 0.125,
+                 routed: Any = None):
         module = model.module
+        self._module = module
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        self._routed = 2.0 if routed is True else (
+            float(routed) if routed is not None else None)
+        if routed is not None:
+            if type(module).__name__ != "VisionTransformerMoE":
+                raise NotImplementedError(
+                    "routed= (top-1 capacity dispatch) applies to "
+                    "VisionTransformerMoE engines only")
+            if quantized:
+                raise NotImplementedError(
+                    "routed= is bf16-only: the int8 MoE engine quantizes "
+                    "per expert stack and has no routed dispatch variant "
+                    "(serve dense int8 or routed bf16)")
+            if self._routed <= 0:
+                raise ValueError("routed= capacity factor must be > 0")
+        self._compact = compact
+        self._compact_auto = compact is True
+        self._compact_slack = float(compact_slack)
+        if compact is not None:
+            if not self._is_residual_module(module):
+                raise NotImplementedError(
+                    "compact= (token-compaction serving) applies to the "
+                    "ResidualViT family — other families either have no "
+                    "gates or already drop physically (RankViT)")
+            if quantized or recon_outputs or mesh is not None and \
+                    mesh.shape.get("model", 1) > 1:
+                raise NotImplementedError(
+                    "compact= is a bf16 single-program mode: int8 would "
+                    "redefine the calibrated grid per capacity, the recon "
+                    "decoder needs token positions compaction discards, "
+                    "and the TP partial kernels have no compacted "
+                    "variants (serve those dense or data-parallel)")
+            if getattr(module, "noise_layer", None) is not None:
+                raise NotImplementedError(
+                    "compact= changes the token layout under the "
+                    "NoiseBlock; run noise sweeps on the exact masked "
+                    "engine")
         self._noise = None
         if getattr(module, "noise_layer", None) is not None:
             self._noise = (int(module.noise_layer),
@@ -2297,11 +2483,7 @@ class InferenceEngine:
                 "engine noise must precede the first ranked layer (the "
                 "physical drop changes the token layout the NoiseBlock "
                 "samples over); use the linen path for a later noise_layer")
-        self._residual = type(module).__name__ in (
-            "ResidualVisionTransformer",
-            "EEResidualVisionTransformer",
-            "ResidualVisionTransformerWithDecoder",
-        )
+        self._residual = self._is_residual_module(module)
         # Every budget-token mode except 'learnable' derives the gate
         # threshold from a WHOLE-BATCH mean of the (image-mixed) budget
         # token, so outputs for one image depend on its batchmates —
@@ -2471,6 +2653,7 @@ class InferenceEngine:
                 num_layers=module.num_layers,
                 compute_dtype=compute_dtype,
                 interpret=interpret,
+                routed_capacity=self._routed,
             ))
             return
         if self._residual:
@@ -2554,6 +2737,18 @@ class InferenceEngine:
                         or module.num_heads)
                 self.params = prepare_engine_params(model.params,
                                                     compute_dtype)
+                if self._compact_auto:
+                    # per-budget capacity min(1, budget + slack): one
+                    # compiled fn per distinct budget (like the rank
+                    # exact-drop mode), built lazily in __call__
+                    self._compact_common = dict(
+                        common, early_exits=bool(ee_outputs))
+                    self._compact_fns = {}
+                    self._fn = None
+                    return
+                if compact is not None:
+                    common["compact_caps"] = self._compact_caps_for(
+                        float(compact))
                 self._fn = self._jit_noise(functools.partial(
                     residualvit_forward_fused,
                     early_exits=bool(ee_outputs), **common), n_scalar_args=1)
@@ -2675,6 +2870,18 @@ class InferenceEngine:
                     "serving (shard_map splits the batch evenly)")
         if getattr(self, "_residual", False):
             b = 1.0 if budget is None else budget
+            if getattr(self, "_compact_auto", False):
+                key = float(b)
+                if key not in self._compact_fns:
+                    caps = self._compact_caps_for(
+                        min(1.0, key + self._compact_slack))
+                    self._compact_fns[key] = self._jit_noise(
+                        functools.partial(residualvit_forward_fused,
+                                          compact_caps=caps,
+                                          **self._compact_common),
+                        n_scalar_args=1)
+                return self._compact_fns[key](self.params, images,
+                                              jnp.float32(b), *extra)
             return self._fn(self.params, images, jnp.float32(b), *extra)
         if self._rank_layers:
             b = 1.0 if budget is None else float(budget)
