@@ -135,6 +135,23 @@ def decode_transform(data: bytes, resize: int, size: int,
     return out if ok else None
 
 
+def decode(data: bytes) -> Optional[np.ndarray]:
+    """Raw decode to uint8 HWC RGB at FULL resolution (the train-path
+    random crops need the original geometry — DCT-domain scaling applies
+    only to the eval transform path, pv_decode_transform/pv_load_batch)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ptr = lib.pv_decode(data, len(data), ctypes.byref(h), ctypes.byref(w))
+    if not ptr:
+        return None
+    arr = np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 3)).copy()
+    lib.pv_free(ptr)
+    return arr
+
+
 def load_batch(paths, resize: int, size: int, mean, std,
                num_threads: int = 8):
     """Decode+transform a batch of image files in native threads.
