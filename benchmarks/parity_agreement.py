@@ -112,6 +112,75 @@ def main(n_images: int = N_IMAGES):
         print(json.dumps({"budget": budget,
                           **results["budgets"][str(budget)]}), flush=True)
 
+    # ---- token-compaction residual serving (round 5, VERDICT r4 #1):
+    # the compact engine approximates the EXACT masked engine, so the
+    # reference here is the exact bf16 engine itself; divergence =
+    # capacity overflow (positive-gate tokens beyond ceil(budget*N))
+    # plus the zero-slot bias-key count. Per-budget agreement + the
+    # measured overflow fraction are the committed honesty artifact.
+    res = build_model("residualvit", dict(
+        B16, residual_layers=["attention+mlp"] * 12, gate_type="sigmoid",
+        add_budget_token="learnable"), seed=9)
+    rp = jax.tree.map(lambda t: np.array(t, np.float32), res.params)
+    grng = np.random.default_rng(11)
+    for i in range(12):
+        lp = rp["encoder"][f"layers_{i}"]
+        lp["residual_gate"]["projection"]["kernel"] = grng.normal(
+            0, 0.5, (768, 1)).astype(np.float32)
+    res.params = jax.tree.map(jnp.asarray, rp)
+    exact_eng = InferenceEngine(res, interpret=not on_tpu)
+    compact_eng = InferenceEngine(res, interpret=not on_tpu, compact=True)
+    apply_res = res.apply_fn()
+
+    from peekvit_tpu.utils.losses import _mask_list
+
+    @jax.jit
+    def gate_masks(params, x, budget):
+        _, aux = apply_res(params, x, budget, None, {}, train=False)
+        return jnp.stack([jnp.sum(m[..., 0] > 0, axis=-1)
+                          for m in _mask_list(aux)])
+
+    results["residual_compact"] = {}
+    n_img_tokens = (224 // 16) ** 2
+    for budget in BUDGETS:
+        caps = compact_eng._compact_caps_for(
+            min(1.0, budget + compact_eng._compact_slack))
+        cap = caps[0] if caps else n_img_tokens
+        exs, cps, over = [], [], []
+        for i in range(0, n_images, BATCH):
+            x = jnp.asarray(images[i:i + BATCH])
+            exs.append(np.asarray(exact_eng(x, budget=budget)))
+            cps.append(np.asarray(compact_eng(x, budget=budget)))
+            surv = np.asarray(gate_masks(res.params, x,
+                                         jnp.float32(budget)))
+            over.append(np.maximum(0, surv - cap) / np.maximum(1, surv))
+        stats = agreement_stats(np.concatenate(exs), np.concatenate(cps))
+        stats["capacity"] = cap
+        stats["mean_overflow_frac"] = round(
+            float(np.mean(np.concatenate(over, axis=1))), 4)
+        results["residual_compact"][str(budget)] = stats
+        print(json.dumps({"residual_compact": budget, **stats}),
+              flush=True)
+
+    # ---- routed top-1 MoE (round 5, VERDICT r4 #2): exact vs the dense
+    # engine unless an expert overflows its capacity
+    moe = build_model("moevit", dict(
+        B16, mlp_moes=[1, 1, 1, 1, 2, 2, 2, 2, 4, 4, 4, 4]), seed=9)
+    dense_eng = InferenceEngine(moe, interpret=not on_tpu)
+    results["moevit_routed"] = {}
+    for cf in (1.0, 2.0):
+        r_eng = InferenceEngine(moe, interpret=not on_tpu, routed=cf)
+        ds, rs = [], []
+        for i in range(0, n_images, BATCH):
+            x = jnp.asarray(images[i:i + BATCH])
+            ds.append(np.asarray(dense_eng(x)))
+            rs.append(np.asarray(r_eng(x)))
+        results["moevit_routed"][f"cf{cf}"] = agreement_stats(
+            np.concatenate(ds), np.concatenate(rs))
+        print(json.dumps({"moevit_routed_cf": cf,
+                          **results["moevit_routed"][f"cf{cf}"]}),
+              flush=True)
+
     path = os.path.join(os.path.dirname(__file__), "parity_agreement.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)

@@ -87,6 +87,78 @@ def run_level(base, body, clients):
     }
 
 
+def _breakdown(stats, before):
+    """Per-batch ms deltas of the dispatch-cost counters."""
+    nb = max(1, stats["batches"] - before["batches"])
+    return {f"{k}_per_batch": round(
+        (stats[k] - before[k]) / nb, 2)
+        for k in ("t_concat_ms", "t_dispatch_ms", "t_fetch_ms",
+                  "t_deliver_ms")}
+
+
+def run_inprocess_level(mb, img, clients, reqs=REQS_PER_CLIENT):
+    """Closed-loop clients hitting MicroBatcher.submit DIRECTLY — the
+    no-HTTP control separating host/HTTP cost from batcher+engine cost."""
+    lats, lock = [], threading.Lock()
+
+    def client():
+        mine = []
+        for _ in range(reqs):
+            t0 = time.monotonic()
+            mb.predict(img, timeout=300)
+            mine.append(time.monotonic() - t0)
+        with lock:
+            lats.extend(mine)
+
+    ts = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.monotonic()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.monotonic() - t0
+    lats = np.sort(np.asarray(lats))
+    n = len(lats)
+    return {"clients": clients, "requests": n,
+            "req_per_s": round(n / wall, 1),
+            "p50_ms": round(float(lats[n // 2]) * 1e3, 2),
+            "p99_ms": round(float(lats[int(n * 0.99) - 1]) * 1e3, 2)}
+
+
+def engine_bound_controls(engine, out):
+    """Two upper-bound controls on the SAME loaded bundle:
+
+    - serving-style: batched calls with one device->host fetch per batch
+      (what any real host pays; on this environment the axon tunnel's
+      fetch RTT dominates it);
+    - device-only: the on-device fori_loop rate (no per-batch fetch) —
+      the engine capacity the host could approach with fetch overlap.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import device_seconds_per_iter
+
+    bs = max(BUCKETS)
+    x = np.asarray(np.random.default_rng(1).normal(
+        size=(bs, 224, 224, 3)), np.float32)
+    xj = jnp.asarray(x)
+    engine(xj)  # warm
+    t0 = time.monotonic()
+    reps = 20
+    for _ in range(reps):
+        np.asarray(jax.tree.leaves(engine(xj))[0])
+    wall = time.monotonic() - t0
+    out["control_fetch_per_batch_img_s"] = round(bs * reps / wall, 1)
+
+    sub = engine._engines[bs]  # the bucket's ServingEngine
+
+    def step(params, xx, carry):
+        return jnp.sum(sub._call(params, xx + carry * 0)
+                       .astype(jnp.float32))
+
+    t = device_seconds_per_iter(step, (sub.params, xj), reps=20)
+    out["control_device_only_img_s"] = round(bs / t, 1)
+
+
 def main():
     assert jax.default_backend() == "tpu", "serving load test needs the TPU"
     bundle = "/tmp/serving_host_bench_bundle"
@@ -127,8 +199,42 @@ def main():
         row["dispatches"] = mb.stats["batches"] - before["batches"]
         row["avg_batch_fill"] = round(
             row["requests"] / max(1, row["dispatches"]), 2)
+        row.update(_breakdown(mb.stats, before))
         out["levels"].append(row)
         print(json.dumps(row), flush=True)
+
+    # ---- attribution controls (VERDICT r4 #5) -------------------------
+    # (a) in-process: same MicroBatcher, no HTTP/client threads posting
+    # over sockets — separates HTTP+client cost from batcher+engine cost
+    img32 = img.astype(np.float32)
+    out["inprocess_levels"] = []
+    for clients in LEVELS:
+        before = dict(mb.stats)
+        row = run_inprocess_level(mb, img32, clients)
+        row["dispatches"] = mb.stats["batches"] - before["batches"]
+        row["avg_batch_fill"] = round(
+            row["requests"] / max(1, row["dispatches"]), 2)
+        row.update(_breakdown(mb.stats, before))
+        out["inprocess_levels"].append(row)
+        print(json.dumps({"inprocess": row}), flush=True)
+
+    # (b) serial-fetch control: pipeline_fetches=0 restores the round-4
+    # dispatcher (fetch serialized behind dispatch) — the delta vs the
+    # pipelined in-process rows attributes the fetch-overlap win
+    mb_serial = MicroBatcher(mb.engine, max_delay_ms=5.0,
+                             pipeline_fetches=0)
+    before = dict(mb_serial.stats)
+    row = run_inprocess_level(mb_serial, img32, max(LEVELS))
+    row["dispatches"] = mb_serial.stats["batches"] - before["batches"]
+    row.update(_breakdown(mb_serial.stats, before))
+    out["inprocess_serial_fetch"] = row
+    print(json.dumps({"serial_fetch": row}), flush=True)
+    mb_serial.close()
+
+    # (c) engine-bound upper bounds on the same loaded bundle
+    engine_bound_controls(mb.engine, out)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k.startswith("control_")}), flush=True)
 
     httpd.shutdown()
     httpd.server_close()

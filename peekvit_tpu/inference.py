@@ -1544,6 +1544,7 @@ def moevit_forward_fused(params, images, *, patch_size: int,
                          compute_dtype=jnp.bfloat16,
                          interpret: bool = False,
                          routed_capacity: Optional[float] = None,
+                         routed_min_experts: int = 3,
                          noise_layer: Optional[int] = None,
                          noise_type: str = "gaussian", noise_value=None,
                          noise_rng=None) -> jax.Array:
@@ -1673,10 +1674,15 @@ def moevit_forward_fused(params, images, *, patch_size: int,
                                 + cast(m0["fc1_bias"]), approximate=False)
                 tokens = tokens + (h @ cast(m0["fc2_kernel"])
                                    + cast(m0["fc2_bias"]))
-            elif routed_capacity is not None:
+            elif (routed_capacity is not None
+                  and mlp_moes[li] >= routed_min_experts):
                 # routed top-1 dispatch: one expert's FLOPs per token
                 # instead of the reference's dense E x (opt-in engine
-                # mode; exact when every expert load fits capacity)
+                # mode; exact when every expert load fits capacity).
+                # Layers below routed_min_experts stay dense: routed
+                # rows ~= cf*T vs dense E*T plus ~1.4 ms of dispatch
+                # (sort+gathers, measured round 5), so small-E layers
+                # would pay MORE routed than dense
                 tokens = tokens + _routed_moe_mlp(
                     z, mlp["gating_network"], mlp["experts"], cast,
                     routed_capacity)
@@ -2368,6 +2374,19 @@ class InferenceEngine:
             return None
         return (cap,) * module.num_layers
 
+    def _compact_fn_for(self, b: float):
+        """Compact-auto mode: one compiled fn per budget, capacity
+        min(1, budget + slack) (lazy; shared by __call__ and the bundle
+        exporter)."""
+        if b not in self._compact_fns:
+            caps = self._compact_caps_for(min(1.0, b + self._compact_slack))
+            self._compact_fns[b] = self._jit_noise(
+                functools.partial(residualvit_forward_fused,
+                                  compact_caps=caps,
+                                  **self._compact_common),
+                n_scalar_args=1)
+        return self._compact_fns[b]
+
     def _jit(self, raw, n_scalar_args: int = 0):
         """jit the raw forward; with ``mesh``, shard-map it data-parallel.
 
@@ -2414,8 +2433,8 @@ class InferenceEngine:
                  calib_static_caps: bool = False,
                  mesh=None, ee_outputs: bool = False,
                  recon_outputs: bool = False,
-                 compact: Any = None, compact_slack: float = 0.125,
-                 routed: Any = None):
+                 compact: Any = None, compact_slack: float = 0.0,
+                 routed: Any = None, routed_min_experts: int = 3):
         module = model.module
         self._module = module
         if interpret is None:
@@ -2654,6 +2673,7 @@ class InferenceEngine:
                 compute_dtype=compute_dtype,
                 interpret=interpret,
                 routed_capacity=self._routed,
+                routed_min_experts=int(routed_min_experts),
             ))
             return
         if self._residual:
@@ -2871,17 +2891,8 @@ class InferenceEngine:
         if getattr(self, "_residual", False):
             b = 1.0 if budget is None else budget
             if getattr(self, "_compact_auto", False):
-                key = float(b)
-                if key not in self._compact_fns:
-                    caps = self._compact_caps_for(
-                        min(1.0, key + self._compact_slack))
-                    self._compact_fns[key] = self._jit_noise(
-                        functools.partial(residualvit_forward_fused,
-                                          compact_caps=caps,
-                                          **self._compact_common),
-                        n_scalar_args=1)
-                return self._compact_fns[key](self.params, images,
-                                              jnp.float32(b), *extra)
+                return self._compact_fn_for(float(b))(
+                    self.params, images, jnp.float32(b), *extra)
             return self._fn(self.params, images, jnp.float32(b), *extra)
         if self._rank_layers:
             b = 1.0 if budget is None else float(budget)

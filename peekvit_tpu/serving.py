@@ -103,6 +103,22 @@ def _engine_call_for_export(engine, budget, meta):
     filling ``meta``'s budget fields. Shared by the single and bucketed
     exporters."""
     if getattr(engine, "_residual", False):
+        if getattr(engine, "_compact_auto", False):
+            # token-compaction auto mode: the capacity is STATIC per
+            # budget, so the bundle serves budgets <= the export budget
+            # with the export budget's capacity (budget itself stays a
+            # traced operand)
+            if budget is None:
+                raise ValueError(
+                    "a compact-auto residual engine sizes its capacity "
+                    "per budget; pass budget= to export a bundle whose "
+                    "capacity fits that budget (or build the engine with "
+                    "compact=<capacity fraction> for one traced-budget "
+                    "bundle)")
+            b = float(budget)
+            meta["budget_mode"] = "traced"
+            meta["max_budget"] = b
+            return engine._compact_fn_for(b), (jnp.float32(b),)
         meta["budget_mode"] = "traced"
         meta["max_budget"] = 1.0
         return engine._fn, (jnp.float32(1.0 if budget is None else budget),)

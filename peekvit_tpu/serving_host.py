@@ -71,7 +71,8 @@ class MicroBatcher:
     """
 
     def __init__(self, engine, max_delay_ms: float = 5.0,
-                 max_queue_items: Optional[int] = None):
+                 max_queue_items: Optional[int] = None,
+                 pipeline_fetches: int = 4):
         self.engine = engine
         self._buckets = tuple(sorted(engine.batch_sizes))
         self._item_shape = tuple(engine.meta["image_shape"][1:])
@@ -83,12 +84,39 @@ class MicroBatcher:
         self._queue = []  # [(rows ndarray, budget, Future)]
         self._queued_items = 0
         self._closed = False
+        # Per-dispatch cost breakdown (VERDICT r4 #5): host-side batch
+        # assembly, engine DISPATCH (jax returns after enqueue), the
+        # device->host result fetch, and future delivery — so a plateau
+        # can be attributed (on this environment the axon tunnel's fetch
+        # RTT dominates; a PCIe-attached host pays ~none of it).
         self.stats = {"requests": 0, "items": 0, "batches": 0,
                       "padded_rows": 0, "errors": 0, "shed": 0,
-                      "rejected": 0}
+                      "rejected": 0, "t_concat_ms": 0.0,
+                      "t_dispatch_ms": 0.0, "t_fetch_ms": 0.0,
+                      "t_deliver_ms": 0.0}
+        self._stats_lock = threading.Lock()
+        # Fetch/dispatch OVERLAP: result fetches run on a small completer
+        # pool so the dispatcher keeps feeding the device while earlier
+        # batches' fetches are still in flight (the fetch is pure wire
+        # time — serializing it behind dispatch caps throughput at
+        # 1/RTT batches). pipeline_fetches=0 restores the serial path
+        # (the bench's attribution control). The semaphore bounds
+        # in-flight completions so dispatch cannot run unboundedly ahead.
+        self._completers = None
+        self._inflight = None
+        if pipeline_fetches > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._completers = ThreadPoolExecutor(
+                max_workers=pipeline_fetches, thread_name_prefix="mb-fetch")
+            self._inflight = threading.Semaphore(2 * pipeline_fetches)
         self._thread = threading.Thread(
             target=self._loop, name="microbatcher", daemon=True)
         self._thread.start()
+
+    def _bump(self, key: str, ms: float) -> None:
+        with self._stats_lock:
+            self.stats[key] += ms
 
     # -- client surface ---------------------------------------------------
 
@@ -134,11 +162,14 @@ class MicroBatcher:
         return self.submit(images, budget=budget).result(timeout)
 
     def close(self) -> None:
-        """Stop accepting work, flush the queue, join the dispatcher."""
+        """Stop accepting work, flush the queue, join the dispatcher and
+        any in-flight result fetches."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
         self._thread.join()
+        if self._completers is not None:
+            self._completers.shutdown(wait=True)
 
     # -- dispatcher --------------------------------------------------------
 
@@ -202,6 +233,7 @@ class MicroBatcher:
             self._dispatch(batch, n, budget)
 
     def _dispatch(self, batch, n, budget):
+        t0 = time.monotonic()
         try:
             rows = (batch[0][0] if len(batch) == 1
                     else np.concatenate([x for x, _, _ in batch]))
@@ -212,11 +244,41 @@ class MicroBatcher:
                 rows = np.concatenate(
                     [rows, np.zeros((bucket - n,) + rows.shape[1:],
                                     rows.dtype)])
+            t1 = time.monotonic()
             out = self.engine(jnp.asarray(rows), budget=budget)
+            t2 = time.monotonic()
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["padded_rows"] += bucket - n
+                self.stats["t_concat_ms"] += (t1 - t0) * 1e3
+                self.stats["t_dispatch_ms"] += (t2 - t1) * 1e3
+        except Exception as e:  # deliver, don't kill the dispatcher
+            with self._stats_lock:
+                self.stats["errors"] += 1
+            for _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        if self._completers is None:
+            self._complete(out, batch)
+            return
+        self._inflight.acquire()
+
+        def task():
+            try:
+                self._complete(out, batch)
+            finally:
+                self._inflight.release()
+
+        self._completers.submit(task)
+
+    def _complete(self, out, batch):
+        """Fetch device results and resolve futures (completer stage)."""
+        t0 = time.monotonic()
+        try:
             leaves, treedef = jax.tree.flatten(out)
             leaves = [np.asarray(v) for v in leaves]
-            self.stats["batches"] += 1
-            self.stats["padded_rows"] += bucket - n
+            t1 = time.monotonic()
             off = 0
             for x, _, fut in batch:
                 k = x.shape[0]
@@ -224,8 +286,12 @@ class MicroBatcher:
                     fut.set_result(jax.tree.unflatten(
                         treedef, [v[off:off + k] for v in leaves]))
                 off += k
-        except Exception as e:  # deliver, don't kill the dispatcher
-            self.stats["errors"] += 1
+            t2 = time.monotonic()
+            self._bump("t_fetch_ms", (t1 - t0) * 1e3)
+            self._bump("t_deliver_ms", (t2 - t1) * 1e3)
+        except Exception as e:
+            with self._stats_lock:
+                self.stats["errors"] += 1
             for _, _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
@@ -326,10 +392,14 @@ def _main(argv=None):
     p.add_argument("--port", type=int, default=8390)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--timeout-s", type=float, default=60.0)
+    p.add_argument("--pipeline-fetches", type=int, default=4,
+                   help="completer threads overlapping device->host result "
+                        "fetches with dispatch (0 = serial)")
     args = p.parse_args(argv)
 
     batcher = MicroBatcher(load_serving_bundle(args.bundle),
-                           max_delay_ms=args.max_delay_ms)
+                           max_delay_ms=args.max_delay_ms,
+                           pipeline_fetches=args.pipeline_fetches)
     httpd = build_server(batcher, port=args.port, timeout_s=args.timeout_s)
     print(json.dumps({"serving": f"http://127.0.0.1:{httpd.server_port}",
                       "buckets": list(batcher._buckets),

@@ -168,3 +168,21 @@ def test_compact_dp_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(single(x, budget=0.5)),
                                np.asarray(sharded(x, budget=0.5)),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_compact_engine_exports_serving_bundle(tmp_path):
+    """Compact-auto engines export per-budget bundles (capacity static,
+    budget traced); the reloaded bundle matches the live engine."""
+    from peekvit_tpu.serving import load_serving_bundle, save_serving_bundle
+
+    model = _residual_model(20)
+    x = jnp.asarray(np.random.default_rng(21).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    eng = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                          compact=True)
+    with pytest.raises(ValueError, match="compact-auto"):
+        save_serving_bundle(eng, str(tmp_path / "nob"), x)
+    path = save_serving_bundle(eng, str(tmp_path / "b05"), x, budget=0.5)
+    loaded = load_serving_bundle(path)
+    np.testing.assert_array_equal(np.asarray(loaded(x, budget=0.5)),
+                                  np.asarray(eng(x, budget=0.5)))

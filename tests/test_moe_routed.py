@@ -133,3 +133,18 @@ def test_routed_composes_with_attention_moes_dense():
                              interpret=True, routed=4.0)
     np.testing.assert_allclose(np.asarray(routed(x)), np.asarray(dense(x)),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_routed_min_experts_includes_small_layers_when_asked():
+    """Default keeps E=2 layers dense (dispatch cost exceeds the 2x->cf
+    row saving); routed_min_experts=2 routes them too, still exact at
+    full capacity."""
+    model = _moe_model(12)
+    x = jnp.asarray(np.random.default_rng(13).normal(size=(4, 32, 32, 3)),
+                    jnp.float32)
+    dense = InferenceEngine(model, compute_dtype=jnp.float32, interpret=True)
+    routed_all = InferenceEngine(model, compute_dtype=jnp.float32,
+                                 interpret=True, routed=4.0,
+                                 routed_min_experts=2)
+    np.testing.assert_allclose(np.asarray(routed_all(x)),
+                               np.asarray(dense(x)), rtol=2e-5, atol=2e-5)

@@ -269,3 +269,40 @@ def test_http_budget_header(tmp_path):
         httpd.shutdown()
         httpd.server_close()
         mb.close()
+
+
+def test_microbatcher_fetch_pipeline_and_breakdown(plain_bundle):
+    """Pipelined result fetches (completer pool) deliver the same results
+    as the serial dispatcher, and the per-dispatch cost breakdown
+    counters accumulate (VERDICT r4 #5 attribution instrumentation)."""
+    path, eng = plain_bundle
+    xs = [_x(seed=50 + i) for i in range(6)]
+    results = {}
+    for fetches in (0, 3):
+        mb = MicroBatcher(load_serving_bundle(path), max_delay_ms=20.0,
+                          pipeline_fetches=fetches)
+        try:
+            futs = [mb.submit(x) for x in xs]
+            results[fetches] = [f.result(timeout=60) for f in futs]
+            stats = dict(mb.stats)
+        finally:
+            mb.close()
+        assert stats["batches"] >= 1
+        assert stats["t_dispatch_ms"] > 0.0
+        # fetch/deliver timings are recorded by the completer stage too
+        assert stats["t_fetch_ms"] >= 0.0
+        assert stats["t_deliver_ms"] >= 0.0
+    for a, b in zip(results[0], results[3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_microbatcher_pipelined_close_flushes(plain_bundle):
+    """close() joins the completer pool: every submitted Future resolves
+    even when close races the in-flight fetches."""
+    path, _ = plain_bundle
+    mb = MicroBatcher(load_serving_bundle(path), max_delay_ms=1.0,
+                      pipeline_fetches=2)
+    futs = [mb.submit(_x(seed=70 + i)) for i in range(8)]
+    mb.close()
+    for f in futs:
+        assert f.result(timeout=5) is not None
