@@ -2181,14 +2181,20 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     tokens BY GATE VALUE are physically gathered (jax.lax.top_k on the
     fp32 mask, reference-stable tie-break) and the buffer shrinks to
     ``s + cap + 1`` — every later matmul runs on the compacted width.
-    Slots beyond the survivor count carry mask 0 and value 0, which is
-    EXACTLY how the reference treats gated-off tokens (zero value, bias
-    key in attention — residualvit.py:249-260), so the only divergences
-    vs the exact masked path are (a) positive-gate tokens beyond the
-    capacity are dropped (lowest-gate first), and (b) the count of
-    zero-value bias-key slots the softmax sees is ``cap − survivors``
-    instead of ``N − survivors``. Approximate serving mode, int8-style:
-    agreement rates are measured per budget in
+    Slots beyond the survivor count carry mask 0, exactly how the
+    reference treats gated-off tokens (mask*LN zeroes their qkv input,
+    so their attention keys/values are the pure BIAS terms — identical
+    across every gated-off token; residualvit.py:249-260). The buffer
+    also carries one PHANTOM zero slot whose exp term the masked kernels
+    weight by the dropped count (``_attn_scores_pv(kweight=)``): count x
+    one-identical-term reproduces the (N - cap) dropped tokens'
+    attention contribution EXACTLY. Remaining divergences vs the exact
+    masked path: (a) positive-gate tokens beyond the capacity are
+    dropped (lowest-gate first, an overflow the parity bench measures),
+    and (b) a dropped token that would RE-ENTER at a later layer (gate
+    re-opens on its frozen private value) re-enters here with the
+    phantom's generic zero-token state instead. Approximate serving
+    mode, int8-style: agreement rates are measured per budget in
     benchmarks/parity_agreement.json. ``budget`` stays traced (capacity
     is the static knob). Incompatible with ``recon`` (compaction loses
     token positions the decoder needs) and engine noise (layout changes
@@ -2222,8 +2228,20 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
     else:
         raise NotImplementedError("fused residualvit engine needs a budget token")
     btok = jnp.broadcast_to(btok, (b, 1, d))
-    tokens = jnp.concatenate([tokens, btok], axis=1)
     s = c + num_registers  # special tokens at the front
+    n_img_orig = tokens.shape[1] - s
+    # compaction carries one PHANTOM zero slot between the image tokens
+    # and the budget token: its key-exp term is weighted by the dropped
+    # count in the masked kernels, standing in exactly for the removed
+    # gated-off tokens' (identical) bias keys/values
+    phantom = (compact_caps is not None
+               and min(int(cc) for cc in compact_caps) < n_img_orig)
+    tail = 2 if phantom else 1
+    if phantom:
+        tokens = jnp.concatenate(
+            [tokens, jnp.zeros((b, 1, d), tokens.dtype), btok], axis=1)
+    else:
+        tokens = jnp.concatenate([tokens, btok], axis=1)
     exits = []
     last_mask = None
 
@@ -2232,7 +2250,7 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
                                noise_value, noise_rng)
         lp = enc[f"layers_{i}"]
         # ---- gate (XLA: Dense(1) + shift; reference :58-69,154-165)
-        img = tokens[:, s:-1]
+        img = tokens[:, s:-tail]
         gp = lp["residual_gate"]["projection"]
         logits = img.astype(jnp.float32) @ gp["kernel"].astype(jnp.float32) \
             + gp["bias"].astype(jnp.float32)
@@ -2266,10 +2284,21 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
         mask = mask.astype(compute_dtype)  # (B, N_img, 1)
 
         ones = jnp.ones((b, 1, 1), compute_dtype)
-        fwd_mask = jnp.concatenate(
-            [jnp.ones((b, s, 1), compute_dtype), mask, ones], axis=1)
-        tokens = jnp.concatenate(
-            [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
+        if phantom:
+            # phantom slot: mask 0 (a gated-off token), value carried
+            fwd_mask = jnp.concatenate(
+                [jnp.ones((b, s, 1), compute_dtype), mask,
+                 jnp.zeros((b, 1, 1), compute_dtype), ones], axis=1)
+            tokens = jnp.concatenate(
+                [tokens[:, :s], mask * img, tokens[:, -2:]], axis=1)
+            ph_mult = float(n_img_orig - img.shape[1])
+            ph_idx = s + img.shape[1]
+        else:
+            fwd_mask = jnp.concatenate(
+                [jnp.ones((b, s, 1), compute_dtype), mask, ones], axis=1)
+            tokens = jnp.concatenate(
+                [tokens[:, :s], mask * img, tokens[:, -1:]], axis=1)
+            ph_mult, ph_idx = 0.0, -1
 
         at = lp["self_attention"]
         wargs = (
@@ -2282,17 +2311,21 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
         )
         if compact_caps is None or tokens.shape[1] >= _MERGED_MIN_TOKENS:
             tokens = masked_layer_block(
-                tokens, fwd_mask, *wargs, num_heads, 1e-6, interpret)
+                tokens, fwd_mask, *wargs, num_heads, 1e-6, interpret,
+                1, ph_mult, ph_idx)
         else:
             # few tokens after compaction: the split masked kernels
             # amortize weight DMA better (same threshold as the rank
             # engines' merged/split choice; the dense path keeps the
             # merged kernel unconditionally — its numerics are the pinned
-            # parity reference)
+            # parity reference). mi=1: at the compacted buffer's odd
+            # token counts Mosaic cannot lower the (mi, n, 1) -> (mi*n,
+            # 1) mask fold for mi > 1 ("unsupported shape cast")
             tokens = masked_attention_block(
-                tokens, fwd_mask, *wargs[:6], num_heads, 1e-6, interpret)
+                tokens, fwd_mask, *wargs[:6], num_heads, 1e-6, interpret,
+                1, ph_mult, ph_idx)
             tokens = masked_mlp_block(
-                tokens, fwd_mask, *wargs[6:], 1e-6, interpret)
+                tokens, fwd_mask, *wargs[6:], 1e-6, interpret, 1)
         if early_exits:
             ln_p = enc[f"early_exit_heads_{i}_ln"]
             hd_p = enc[f"early_exit_heads_{i}_head"]

@@ -31,6 +31,16 @@ Two activation grids, matching the two engine modes:
   engine would saturate (PACT-style; a saturated activation's gradient
   cannot reach the weight through a clipped value).
 
+Both grids optionally compose with **SmoothQuant equalization**
+(``fake_quant(smoothing=...)``): at the two LN-output sites the hook
+fake-quantizes ``(x / s, w * s)`` — exact in fp for the matmul product,
+but the quantization grid becomes the one the engine's default
+``calib_images=`` mode bakes into its weights
+(inference.smooth_vit_params), so QAT trains against the grid that is
+actually served (round 5, VERDICT r4 #7;
+inference.collect_qat_calibration returns the matched caps+smoothing
+pair).
+
 Enabled as a TRACE-TIME switch (the :func:`fake_quant` context manager
 wraps the model apply inside the Trainer's loss/eval fns — same
 precedent as ops.attention.set_attention_impl): zero cost when off, no

@@ -43,7 +43,7 @@ def _safe_images_per_cell(mi: int, b: int, n: int, d: int) -> int:
 LOG2E = 1.4426950408889634  # exp(x) = exp2(x * LOG2E)
 
 
-def _attn_scores_pv(qj, kj, vj, scale, kmask=None):
+def _attn_scores_pv(qj, kj, vj, scale, kmask=None, kweight=None):
     """softmax(q k^T * scale) @ v with the inference-only fast softmax:
 
     - ``scale * LOG2E`` is folded into q, so the VPU never sweeps the (N, N)
@@ -61,6 +61,15 @@ def _attn_scores_pv(qj, kj, vj, scale, kmask=None):
     ``kmask`` (optional, (n_k,) in {0, 1}) excludes keys exactly like the
     additive -inf masking in ops.attention.attention_core: excluded keys'
     exp terms are zeroed before the rowsum and PV matmul.
+
+    ``kweight`` (optional, (1, n_k)) multiplies each key's exp term —
+    a key with weight M contributes exactly like M identical copies of
+    itself (numerator AND denominator scale together through the
+    ones-column fold). The token-compaction engine uses it to stand one
+    PHANTOM zero-token in for the (N - capacity) dropped gated-off
+    tokens: every mask-0 token's key/value is the pure qkv BIAS
+    (mask*LN zeroes its projection input), identical across tokens, so
+    count * one-term is exact (inference.residualvit_forward_fused).
     """
     qj = (qj.astype(jnp.float32) * (scale * LOG2E)).astype(qj.dtype)
     logits = jax.lax.dot_general(
@@ -86,6 +95,8 @@ def _attn_scores_pv(qj, kj, vj, scale, kmask=None):
         # "tpu.reshape (1,1,99) -> (99,1)" compile error on v5e).
         vz = (vj * jnp.zeros((), vj.dtype)).astype(jnp.float32)
         vj = jnp.where(vz == 0.0, vj, jnp.zeros((), vj.dtype))
+    if kweight is not None:
+        e = e * kweight.astype(e.dtype)
     # rowsum folded into the PV matmul as a ones-column on v: at head_dim
     # 64 the MXU tile is 128 lanes wide anyway, so the extra column is
     # free and the (N, N) VPU reduction disappears (accumulated in the
@@ -365,11 +376,12 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
 
 
 def _masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                        wo_ref, bo_ref, o_ref, *, num_heads: int, eps: float):
+                        wo_ref, bo_ref, o_ref, *, num_heads: int, eps: float,
+                        phantom_mult: float = 0.0, phantom_idx: int = -1):
     """ResidualViT attention sublayer:
     out = x + mask * OutProj(MHSA(mask * LN(x))) — the attention OUTPUT is
-    masked too, so gated tokens stay exactly zero through the residual
-    (reference residualvit.py:249-260 plain_forward)."""
+    masked too (reference residualvit.py:249-260 plain_forward).
+    phantom_mult/idx: the compaction engine's phantom-slot key weight."""
     mi, n, d = x_ref.shape
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
@@ -382,6 +394,12 @@ def _masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
     ln = (ln * mask).astype(x.dtype)
 
+    kweight = None
+    if phantom_mult > 0.0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        kweight = jnp.where(lane == phantom_idx,
+                            jnp.float32(phantom_mult), 1.0)
+
     qkv = jnp.dot(ln, wqkv_ref[...], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
     cols = []
@@ -392,7 +410,8 @@ def _masked_attn_kernel(x_ref, m_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         outs = []
         for j in range(mi):
             qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
-            outs.append(_attn_scores_pv(qj, kj, vj, scale).astype(x.dtype))
+            outs.append(_attn_scores_pv(qj, kj, vj, scale,
+                                        kweight=kweight).astype(x.dtype))
         cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
     attn = jnp.concatenate(cols, axis=-1)
     out = jnp.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
@@ -419,10 +438,11 @@ def _masked_mlp_kernel(x_ref, m_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     o_ref[...] = out.reshape(mi, n, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
 def masked_attention_block(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
                            b_out, num_heads: int, eps: float = 1e-6,
-                           interpret: bool = False, images_per_cell: int = 2):
+                           interpret: bool = False, images_per_cell: int = 2,
+                           phantom_mult: float = 0.0, phantom_idx: int = -1):
     """x + OutProj(MHSA(mask * LN(x))); mask: (B, N, 1)."""
     b, n, d = x.shape
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
@@ -431,7 +451,9 @@ def masked_attention_block(x, mask, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     io = pl.BlockSpec((mi, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_masked_attn_kernel, num_heads=num_heads, eps=eps),
+        functools.partial(_masked_attn_kernel, num_heads=num_heads, eps=eps,
+                          phantom_mult=float(phantom_mult),
+                          phantom_idx=int(phantom_idx)),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=[io, iom, full((1, d)), full((1, d)), full((d, 3 * d)),
@@ -592,7 +614,8 @@ def fold_ln_into_weights(ln_scale, ln_bias, w, b):
 
 
 def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
-                  folded: bool = False):
+                  folded: bool = False, phantom_mult: float = 0.0,
+                  phantom_idx: int = -1):
     """Full pre-LN transformer layer (attn sublayer + MLP sublayer) for one
     image per grid cell. ``mode``:
     - 'plain':     x + Proj(MHSA(LN1(x)));            + MLP path
@@ -629,11 +652,21 @@ def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
     x = x_ref[...].reshape(mi * n, d)
     xf = x.astype(jnp.float32)
 
-    mask = kmask = None
+    mask = kmask = kweight = None
     if mode in ("masked", "avit"):
         mask = m_ref[...].reshape(mi * n, 1).astype(jnp.float32)
     elif mode == "keymasked":
         kmask = m_ref[...].reshape(mi, n)
+    if phantom_mult > 0.0:
+        # compaction's phantom slot: its exp term stands in for the
+        # (N - capacity) dropped zero-mask tokens (identical bias
+        # keys/values — see _attn_scores_pv). Static position/count, so
+        # the weight vector is a compile-time iota select, no operand.
+        # the phantom is an EXTRA row standing in for exactly the
+        # dropped tokens, so its weight is the dropped count itself
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        kweight = jnp.where(lane == phantom_idx,
+                            jnp.float32(phantom_mult), 1.0)
 
     if mode == "avit":  # LN(x*a)*a, unmasked residuals
         ln = _ln_f32_rows(xf * mask, lns1, lnb1, eps) * mask
@@ -657,7 +690,8 @@ def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
             qj, kj, vj = (t[j * n:(j + 1) * n] for t in (q, k, v))
             km = kmask[j] if kmask is not None else None
             outs.append(
-                _attn_scores_pv(qj, kj, vj, scale, kmask=km).astype(x.dtype))
+                _attn_scores_pv(qj, kj, vj, scale, kmask=km,
+                                kweight=kweight).astype(x.dtype))
         attn_cols.append(jnp.concatenate(outs, axis=0) if mi > 1 else outs[0])
     attn = jnp.concatenate(attn_cols, axis=-1)
 
@@ -683,7 +717,7 @@ def _layer_kernel(x_ref, *refs, num_heads: int, eps: float, mode: str,
 
 
 def _merged_call(x, extra, extra_spec, weights, num_heads, eps, mode,
-                 interpret, mi, folded=False):
+                 interpret, mi, folded=False, phantom=(0.0, -1)):
     b, n, d = x.shape
     m = weights[4 if folded else 8].shape[-1]  # w1
     full = lambda shape: pl.BlockSpec(  # noqa: E731 — weights resident
@@ -702,7 +736,9 @@ def _merged_call(x, extra, extra_spec, weights, num_heads, eps, mode,
     args = (x,) + ((extra,) if extra is not None else ()) + tuple(weights)
     return pl.pallas_call(
         functools.partial(_layer_kernel, num_heads=num_heads, eps=eps,
-                          mode=mode, folded=folded),
+                          mode=mode, folded=folded,
+                          phantom_mult=float(phantom[0]),
+                          phantom_idx=int(phantom[1])),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         grid=(b // mi,),
         in_specs=in_specs,
@@ -727,20 +763,25 @@ def _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
             w2, b2.reshape(1, d))
 
 
-@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
+@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17, 18, 19))
 def masked_layer_block(x, mask, ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
                        ln2s, ln2b, w1, b1, w2, b2, num_heads: int,
                        eps: float = 1e-6, interpret: bool = False,
-                       images_per_cell: int = 1):
+                       images_per_cell: int = 1,
+                       phantom_mult: float = 0.0, phantom_idx: int = -1):
     """Merged ResidualViT layer (mask * LN trick on both sublayers, masked
-    attention output — reference residualvit.py:249-260). mask: (B, N, 1)."""
+    attention output — reference residualvit.py:249-260). mask: (B, N, 1).
+
+    ``phantom_mult``/``phantom_idx``: the token-compaction engine's
+    phantom-slot key weight (see _attn_scores_pv) — static, zero-cost
+    when unused."""
     b, n, d = x.shape
     mi = _safe_images_per_cell(images_per_cell, b, n, d)
     iom = pl.BlockSpec((mi, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w = _pack_layer_weights(ln1s, ln1b, w_qkv, b_qkv, w_out, b_out,
                             ln2s, ln2b, w1, b1, w2, b2, d, w1.shape[-1])
     return _merged_call(x, mask, iom, w, num_heads, eps, "masked",
-                        interpret, mi)
+                        interpret, mi, phantom=(phantom_mult, phantom_idx))
 
 
 @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
