@@ -155,13 +155,33 @@ def main():
     emit("moevit(1/2/4)", measure(step_moe, (eng.params, x)))
 
     # routed top-1 MoE (round 5, VERDICT r4 #2): one expert's FLOPs per
-    # token via capacity dispatch instead of the reference's dense E x
+    # token via capacity dispatch instead of the reference's dense E x.
+    # The mixed config routes only its E=4 layers (routed_min_experts);
+    # the uniform 4-expert rows below show the full effect (cf 1.0 =
+    # balanced capacity, the biggest win; overflow rates in
+    # parity_agreement.json).
     engr = InferenceEngine(moe, routed=2.0)
 
     def step_moer(params, xx, carry, fn=engr._fn):
         return jnp.sum(fn(params, xx + carry * 0))
 
     emit("moevit_routed(1/2/4)", measure(step_moer, (engr.params, x)))
+
+    moe4 = bf16(build_model("moevit", dict(B16, mlp_moes=[4] * 12)))
+    eng4d = InferenceEngine(moe4)
+
+    def step_m4d(params, xx, carry, fn=eng4d._fn):
+        return jnp.sum(fn(params, xx + carry * 0))
+
+    emit("moevit_4exp_dense", measure(step_m4d, (eng4d.params, x)))
+    for cf in (1.0, 1.25):
+        eng4r = InferenceEngine(moe4, routed=cf)
+
+        def step_m4r(params, xx, carry, fn=eng4r._fn):
+            return jnp.sum(fn(params, xx + carry * 0))
+
+        emit(f"moevit_4exp_routed_cf{cf}",
+             measure(step_m4r, (eng4r.params, x)))
 
     ada = bf16(build_model("adavit", B16))
     enga = InferenceEngine(ada)
