@@ -380,3 +380,38 @@ def test_quantized_calibrated_eval_entry(tmp_path, capsys):
     rb = summary["results_per_budget"]
     assert set(rb) == {0.5}
     assert all(0.0 <= acc <= 1.0 for r in rb.values() for acc in r.values())
+
+
+def test_test_entry_compact_and_routed_knobs(tmp_path):
+    """Round 5: test.compact routes a ResidualViT eval through the token-
+    compaction engine, test.routed routes a MoE eval through the top-1
+    routed dispatch — both end to end through the CLI."""
+    res = _train_once(tmp_path, [
+        "model=residualvit",
+        "model.residual_layers=['attention+mlp','attention+mlp']",
+        "model.gate_type=sigmoid", "model.gate_bias=0.0",
+        "model.add_budget_token=learnable",
+    ])
+    from test import main as test_main
+
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.budgets=[0.5,1.0]", "test.compact=true",
+    ])
+    rb = results[res["experiment_dir"]]["results_per_budget"]
+    assert set(rb) == {0.5, 1.0}
+    assert all(0.0 <= acc <= 1.0 for r in rb.values() for acc in r.values())
+
+    res_moe = _train_once(tmp_path, [
+        "model=moevit", "model.mlp_moes=[1,4]",
+    ])
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res_moe['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.routed=4.0",
+    ])
+    rb = results[res_moe["experiment_dir"]]["results_per_budget"]
+    assert all(0.0 <= acc <= 1.0 for r in rb.values() for acc in r.values())
