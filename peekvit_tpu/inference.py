@@ -2316,11 +2316,13 @@ def residualvit_forward_fused(params, images, budget, *, patch_size: int,
         else:
             # few tokens after compaction: the split masked kernels
             # amortize weight DMA better (same threshold as the rank
-            # engines' merged/split choice; the dense path keeps the
-            # merged kernel unconditionally — its numerics are the pinned
-            # parity reference). mi=1: at the compacted buffer's odd
-            # token counts Mosaic cannot lower the (mi, n, 1) -> (mi*n,
-            # 1) mask fold for mi > 1 ("unsupported shape cast")
+            # engines' merged/split choice; measured at the 107-token
+            # compact@0.5 buffer: split 7,536 vs merged 7,398 img/s —
+            # the dense path keeps the merged kernel unconditionally,
+            # its numerics being the pinned parity reference). mi=1: at
+            # the compacted buffer's odd token counts Mosaic cannot
+            # lower the (mi, n, 1) -> (mi*n, 1) mask fold for mi > 1
+            # ("unsupported shape cast")
             tokens = masked_attention_block(
                 tokens, fwd_mask, *wargs[:6], num_heads, 1e-6, interpret,
                 1, ph_mult, ph_idx)
@@ -2391,18 +2393,36 @@ class InferenceEngine:
             "ResidualVisionTransformerWithDecoder",
         )
 
-    def _compact_caps_for(self, capacity: float):
+    def _compact_caps_for(self, capacity):
         """Per-layer static image-token capacities for ``compact`` mode:
         ceil(capacity * N) rounded UP to a sublane multiple of 8 (free
         slack — the masked kernels tile rows in groups of 8 anyway),
-        clamped to N. One value for every layer: the reference's gates
-        are independent per layer (no rank cascade), so a single capacity
-        bounds each layer's survivors. Returns None when the capacity
+        clamped to N. ``capacity`` is one float for every layer (the
+        reference's gates are independent per layer — no rank cascade —
+        so a single capacity bounds each layer's survivors) or a
+        per-layer SCHEDULE (sequence of fractions, e.g. decreasing with
+        depth the way trained gates sparsify; a layer whose capacity
+        exceeds the current compacted width is simply a no-op — the
+        buffer never grows back). Returns None when every capacity
         covers every token — the engine then runs the EXACT dense masked
         path (bitwise with ``compact=None``)."""
         module = self._module
         n_img = (module.image_size // module.patch_size) ** 2
-        cap = max(8, -8 * (-int(np.ceil(capacity * n_img)) // 8))
+
+        def one(c):
+            return min(n_img,
+                       max(8, -8 * (-int(np.ceil(float(c) * n_img)) // 8)))
+
+        if isinstance(capacity, (tuple, list)):
+            if len(capacity) != module.num_layers:
+                raise ValueError(
+                    f"compact= schedule has {len(capacity)} entries for a "
+                    f"{module.num_layers}-layer model")
+            caps = tuple(one(c) for c in capacity)
+            if all(c >= n_img for c in caps):
+                return None
+            return caps
+        cap = one(capacity)
         if cap >= n_img:
             return None
         return (cap,) * module.num_layers
@@ -2800,8 +2820,7 @@ class InferenceEngine:
                     self._fn = None
                     return
                 if compact is not None:
-                    common["compact_caps"] = self._compact_caps_for(
-                        float(compact))
+                    common["compact_caps"] = self._compact_caps_for(compact)
                 self._fn = self._jit_noise(functools.partial(
                     residualvit_forward_fused,
                     early_exits=bool(ee_outputs), **common), n_scalar_args=1)

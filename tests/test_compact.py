@@ -186,3 +186,25 @@ def test_compact_engine_exports_serving_bundle(tmp_path):
     loaded = load_serving_bundle(path)
     np.testing.assert_array_equal(np.asarray(loaded(x, budget=0.5)),
                                   np.asarray(eng(x, budget=0.5)))
+
+
+def test_compact_per_layer_capacity_schedule():
+    """compact= accepts a per-layer schedule (decreasing with depth, the
+    trained-gate pattern): later layers compact further, a capacity above
+    the current width is a no-op, and a wrong-length schedule errors."""
+    model = _residual_model(30)
+    x = jnp.asarray(np.random.default_rng(31).normal(size=(4, 32, 32, 3)),
+                    jnp.float32)
+    sched = InferenceEngine(model, compute_dtype=jnp.float32,
+                            interpret=True, compact=[1.0, 0.75, 0.5])
+    out = sched(x, budget=0.5)
+    assert out.shape == (4, 10)
+    # 16 img tokens: caps [16, 16(12->rounded up), 8] -> compaction fires
+    assert sched._compact_caps_for([1.0, 0.75, 0.5]) == (16, 16, 8)
+    exact = InferenceEngine(model, compute_dtype=jnp.float32,
+                            interpret=True)
+    assert _rank_corr(np.asarray(out),
+                      np.asarray(exact(x, budget=0.5))) > 0.9
+    with pytest.raises(ValueError, match="entries"):
+        InferenceEngine(model, compute_dtype=jnp.float32, interpret=True,
+                        compact=[0.5, 0.5])(x, budget=0.5)

@@ -114,7 +114,10 @@ def validate(model, cfg, dataset, experiment_dir, logger):
             # dispatch instead of the dense every-expert execution.
             compact = tcfg.get("compact")
             if compact is not None and not isinstance(compact, bool):
-                compact = float(compact)
+                try:  # per-layer capacity schedule (list of fractions)
+                    compact = tuple(float(c) for c in compact)
+                except TypeError:
+                    compact = float(compact)
             routed = tcfg.get("routed")
             if routed is not None and not isinstance(routed, bool):
                 routed = float(routed)
