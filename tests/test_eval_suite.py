@@ -404,6 +404,16 @@ def test_test_entry_compact_and_routed_knobs(tmp_path):
     assert set(rb) == {0.5, 1.0}
     assert all(0.0 <= acc <= 1.0 for r in rb.values() for acc in r.values())
 
+    # per-layer capacity schedule through the CLI list form
+    results = test_main([
+        f"workspace={tmp_path}", "dataset=synthetic", "dataset.image_size=16",
+        "dataset.val_size=24", f"load_from={res['experiment_dir']}",
+        "test.test_batch_size=12", "test.num_workers=0",
+        "test.budgets=[0.5]", "test.compact=[1.0,0.5]",
+    ])
+    rb = results[res["experiment_dir"]]["results_per_budget"]
+    assert all(0.0 <= acc <= 1.0 for r in rb.values() for acc in r.values())
+
     res_moe = _train_once(tmp_path, [
         "model=moevit", "model.mlp_moes=[1,4]",
     ])
